@@ -1,0 +1,117 @@
+"""Forcing subsystem: packed per-system forcing series + zero-order-hold gather.
+
+Reference pipeline (src/main.cpp:494-606 + src/I_O/forcing_loader.cpp):
+gridded NetCDF (time, lat, lon) -> lookup CSV remap (stream -> flat grid index)
+-> packed device array laid out [forcing-block][time][system] float32 -> in-
+kernel per-step gather with zero-order hold: sampleIdx = clamp(floor(t /
+(dt_hours*60)), 0, nT-1) (rk45_kernel.cu:84-110).  Forcing values are sampled
+ONCE per attempted step at step-start t and held constant across all 7 RK
+stages (rk45_step_dense.cuh:104-105) — reproduced here for parity.
+
+TPU-native differences:
+  - the packed array is [T_total, S] (time-major blocks concatenated on axis 0)
+    so the batch dimension S rides the TPU lanes; the remap is a vectorized
+    numpy/jnp fancy-index gather instead of the reference's O(nT*S) scalar
+    host loop (main.cpp:543-549);
+  - per-forcing metadata (row offset, step count, dt in MINUTES) is static
+    Python data so the gather compiles to static-offset dynamic slices;
+  - the known Radau-kernel indexing bugs (radau_kernel.cu:71,84: missing
+    hours->minutes conversion and wrong block base) are NOT reproduced — both
+    solver phases use this one correct gather.
+
+NetCDF ingestion lives in tiger_tpu.io.netcdf (h5py-based NETCDF4 reader);
+this module is pure array plumbing so it stays jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class ForcingMeta(NamedTuple):
+    """Static (hashable) description of the packed forcing blocks."""
+
+    offsets: tuple[int, ...]  # start row of each forcing block in the packed array
+    n_steps: tuple[int, ...]  # number of time steps per forcing
+    dt_min: tuple[float, ...]  # minutes per time step (reference stores hours:
+    #                            forcing_data.cu c_forc_dt; converted once here)
+
+
+@dataclasses.dataclass(frozen=True)
+class ForcingSet:
+    """Packed forcing data [T_total, S] (float32) plus static metadata.
+
+    ``data[offsets[j] + k, s]`` is forcing j at time-step k for system s.
+    """
+
+    data: jax.Array  # [T_total, S] float32
+    meta: ForcingMeta
+
+    @property
+    def n_forcings(self) -> int:
+        return len(self.meta.offsets)
+
+    @property
+    def num_systems(self) -> int:
+        return self.data.shape[1]
+
+    @staticmethod
+    def from_series(series: Sequence[np.ndarray], dt_minutes: Sequence[float]) -> "ForcingSet":
+        """Build from per-forcing arrays shaped [T_j, S] (already remapped to systems)."""
+        if len(series) != len(dt_minutes):
+            raise ValueError("series and dt_minutes must have equal length")
+        offsets, n_steps = [], []
+        row = 0
+        for arr in series:
+            offsets.append(row)
+            n_steps.append(arr.shape[0])
+            row += arr.shape[0]
+        data = np.concatenate([np.asarray(a, np.float32) for a in series], axis=0)
+        meta = ForcingMeta(tuple(offsets), tuple(n_steps), tuple(float(d) for d in dt_minutes))
+        return ForcingSet(data=jnp.asarray(data), meta=meta)
+
+    def time_slice(self, t0_min: float, t1_min: float) -> "ForcingSet":
+        """Window the packed data to [t0, t1) minutes (for chunked streaming).
+
+        The returned set is re-based so that gathers at absolute time t must
+        subtract t0 first; callers use this for double-buffered long runs.
+        """
+        series, dts = [], []
+        arr = np.asarray(self.data)
+        for off, n, dt in zip(self.meta.offsets, self.meta.n_steps, self.meta.dt_min):
+            k0 = max(0, min(n - 1, int(np.floor(t0_min / dt))))
+            k1 = max(k0 + 1, min(n, int(np.ceil(t1_min / dt))))
+            series.append(arr[off + k0 : off + k1])
+            dts.append(dt)
+        return ForcingSet.from_series(series, dts)
+
+
+def gather_forcings_column(col: jax.Array, meta: ForcingMeta, t: jax.Array) -> jax.Array:
+    """Zero-order-hold gather for ONE system's forcing column at time t [min].
+
+    ``col`` is data[:, s] (shape [T_total]); returns a length-nForc float32
+    vector.  Matches rk45_kernel.cu:90-110: floor(t / dt_min) clamped to
+    [0, nT-1], block base = cumulative sum of previous blocks.
+    """
+    vals = []
+    for off, n_t, dt in zip(meta.offsets, meta.n_steps, meta.dt_min):
+        idx = jnp.clip(jnp.floor(t / dt).astype(jnp.int32), 0, n_t - 1)
+        vals.append(jax.lax.dynamic_index_in_dim(col, off + idx, keepdims=False))
+    return jnp.stack(vals)
+
+
+def remap_grid_to_systems(grid_chunk: np.ndarray, flat_index: np.ndarray) -> np.ndarray:
+    """Vectorized lookup remap: [T, lat, lon] grid -> [T, S] per-system series.
+
+    ``flat_index[s] = lat_idx[s] * lon_size + lon_idx[s]`` (main.cpp:500-505).
+    Replaces the reference's scalar host loop (main.cpp:543-549) with one fancy
+    index per chunk.
+    """
+    t_dim = grid_chunk.shape[0]
+    flat = grid_chunk.reshape(t_dim, -1)
+    return np.ascontiguousarray(flat[:, flat_index])

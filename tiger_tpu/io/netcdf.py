@@ -1,0 +1,138 @@
+"""Minimal NetCDF4 (HDF5-backed) reader/writer built on h5py.
+
+The environment ships h5py but not libnetcdf/netCDF4-python; NETCDF4-format
+files ARE HDF5 files (the reference's committed .nc artifacts have HDF5 magic),
+so this module reads/writes them directly: datasets are variables, dimensions
+are HDF5 dimension scales, attributes pass through.  Files written here carry
+proper dimension scales + _Netcdf4* bookkeeping attributes so netCDF4/xarray
+readers open them as ordinary NetCDF4.
+
+Replaces the reference's libnetcdf usage:
+  - NetCDFLoader (src/I_O/forcing_loader.cpp:76-218): open a 3-D
+    (time, lat, lon) float variable, expose dim sizes, read time chunks;
+  - write_dense_netcdf / write_final_netcdf (src/I_O/output_series.cpp:18-124).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import h5py
+import numpy as np
+
+_DIM_ANON = "This is a netCDF dimension but not a netCDF variable."
+
+
+class NetCDFReader:
+    """Windowed reader for one gridded variable of a NETCDF4 file.
+
+    Equivalent of the reference NetCDFLoader (forcing_loader.cpp:76-218):
+    assumes dims ordered (time, lat, lon) for 3-D variables.
+    """
+
+    def __init__(self, path: str, var_name: str):
+        self._f = h5py.File(path, "r")
+        if var_name not in self._f:
+            self._f.close()
+            raise KeyError(f"Variable {var_name!r} not found in {path}")
+        self._var = self._f[var_name]
+        if self._var.ndim != 3:
+            raise ValueError(
+                f"Expected 3D variable (time, lat, lon), got {self._var.ndim}D"
+            )
+        self.time_size, self.lat_size, self.lon_size = self._var.shape
+        self.path, self.var_name = path, var_name
+
+    def load_time_chunk(self, start: int, count: int) -> np.ndarray:
+        """Read ``count`` time slices from ``start`` -> float32 [count, lat, lon].
+
+        Bounds semantics match loadTimeChunk (forcing_loader.cpp:164-196).
+        """
+        if count <= 0:
+            raise ValueError("Size of time chunk must be greater than zero")
+        if start >= self.time_size:
+            raise IndexError("Start time index out of range")
+        if start + count > self.time_size:
+            raise IndexError("Requested time steps exceed available data")
+        return np.asarray(self._var[start : start + count], np.float32)
+
+    def attrs(self) -> dict:
+        return {k: v for k, v in self._var.attrs.items() if not k.startswith("_Netcdf")}
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class NetCDFWriter:
+    """NETCDF4 writer: define dims, coordinate vars, data vars, attributes."""
+
+    def __init__(self, path: str):
+        self._f = h5py.File(path, "w")
+        self._f.attrs["_NCProperties"] = np.bytes_(b"version=2,tiger_tpu=" + b"0.1")
+        self._dims: dict[str, h5py.Dataset] = {}
+        self._dimid = 0
+
+    def def_dim(self, name: str, size: int, coord: Optional[np.ndarray] = None, dtype=None):
+        """Define a dimension, optionally with coordinate values."""
+        if coord is not None:
+            ds = self._f.create_dataset(name, data=np.asarray(coord, dtype))
+        else:
+            ds = self._f.create_dataset(name, shape=(size,), dtype="f4")
+            ds.attrs["NAME"] = np.bytes_(f"{_DIM_ANON} {size}".encode())
+        ds.make_scale(name)
+        ds.attrs["_Netcdf4Dimid"] = np.int32(self._dimid)
+        self._dimid += 1
+        self._dims[name] = ds
+        return ds
+
+    def def_var(self, name: str, data: np.ndarray, dims: tuple[str, ...], compression: int = 0, attrs: Optional[dict] = None):
+        kwargs = {}
+        if compression and data.ndim > 0:
+            kwargs = dict(compression="gzip", compression_opts=int(compression), shuffle=True)
+        ds = self._f.create_dataset(name, data=data, **kwargs)
+        for axis, dim in enumerate(dims):
+            ds.dims[axis].attach_scale(self._dims[dim])
+        for k, v in (attrs or {}).items():
+            ds.attrs[k] = np.bytes_(v.encode()) if isinstance(v, str) else v
+        return ds
+
+    def set_attr(self, name: str, value):
+        self._f.attrs[name] = np.bytes_(value.encode()) if isinstance(value, str) else value
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_grid_forcing(
+    path: str,
+    var_name: str,
+    data: np.ndarray,
+    time_vals: Optional[np.ndarray] = None,
+    lat_vals: Optional[np.ndarray] = None,
+    lon_vals: Optional[np.ndarray] = None,
+    attrs: Optional[dict] = None,
+) -> None:
+    """Write a (time, lat, lon) float32 forcing grid (ERA5-Land-shaped).
+
+    Used by tests/benchmarks to synthesize forcing files with the layout the
+    reference consumes (pr_hourly_era5land_2019.nc etc., main.cpp:508-515).
+    """
+    data = np.asarray(data, np.float32)
+    n_t, n_lat, n_lon = data.shape
+    with NetCDFWriter(path) as w:
+        w.def_dim("time", n_t, time_vals, "f8")
+        w.def_dim("lat", n_lat, lat_vals, "f8")
+        w.def_dim("lon", n_lon, lon_vals, "f8")
+        w.def_var(var_name, data, ("time", "lat", "lon"), attrs=attrs)

@@ -1,0 +1,110 @@
+"""Result writers: NetCDF (primary) and CSV (legacy/parity artifact format).
+
+NetCDF layouts mirror the reference exactly (src/I_O/output_series.cpp:18-124):
+  - final:  dims (system, variable); int coord vars ``system`` (LinkID,
+    long_name "LinkID") and ``variable``; double data var ``outputs``.
+  - dense:  dims (system, time, variable); double coord ``time`` with units
+    "minutes since start of simulation"; double data var ``outputs``;
+    optional zlib/gzip deflate.
+
+CSV layouts match the commented-out writers that produced the committed golden
+artifacts (src/main.cpp:734-773): final header ``h_snow,var1..var4`` one row
+per system; dense header ``time,var{i}_sys{s}...`` with time at fixed 8
+decimals and values at 9 significant digits.  (Dummy-era artifacts capitalize
+``Var{i}``; pass ``var_prefix='Var'`` + ``final_header='vars'`` for that.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tiger_tpu.io.netcdf import NetCDFWriter
+
+
+def write_final_netcdf(
+    path: str,
+    y_final: np.ndarray,  # [S, N]
+    link_ids: np.ndarray,  # [S]
+    state_ids: Optional[np.ndarray] = None,
+    compression_level: int = 0,
+) -> None:
+    """Final-state file: dims (system, variable).  output_series.cpp:77-124."""
+    y_final = np.asarray(y_final, np.float64)
+    s_count, n_eq = y_final.shape
+    if state_ids is None:
+        state_ids = np.arange(n_eq, dtype=np.int32)
+    with NetCDFWriter(path) as w:
+        w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
+        w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
+        w._dims["system"].attrs["long_name"] = np.bytes_(b"LinkID")
+        w._dims["variable"].attrs["long_name"] = np.bytes_(b"state variable")
+        w._dims["variable"].attrs["units"] = np.bytes_(b"various units")
+        w.def_var("outputs", y_final, ("system", "variable"), compression_level)
+
+
+def write_dense_netcdf(
+    path: str,
+    dense: np.ndarray,  # [S, Q, N]
+    query_times: np.ndarray,  # [Q] minutes
+    link_ids: np.ndarray,  # [S]
+    state_ids: Optional[np.ndarray] = None,
+    compression_level: int = 0,
+) -> None:
+    """Dense-output file: dims (system, time, variable).  output_series.cpp:18-72."""
+    dense = np.asarray(dense, np.float64)
+    s_count, n_q, n_eq = dense.shape
+    if state_ids is None:
+        state_ids = np.arange(n_eq, dtype=np.int32)
+    with NetCDFWriter(path) as w:
+        w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
+        w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
+        w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
+        w._dims["system"].attrs["long_name"] = np.bytes_(b"LinkID")
+        w._dims["time"].attrs["long_name"] = np.bytes_(b"Time")
+        w._dims["time"].attrs["units"] = np.bytes_(b"minutes since start of simulation")
+        w._dims["variable"].attrs["long_name"] = np.bytes_(b"state variable")
+        w._dims["variable"].attrs["units"] = np.bytes_(b"various units")
+        w.def_var("outputs", dense, ("system", "time", "variable"), compression_level)
+
+
+def write_final_csv(path: str, y_final: np.ndarray, header: str = "model204") -> None:
+    """Legacy final CSV (main.cpp:736-752).  header='model204' -> h_snow,var1..;
+    header='vars' -> Var0..Var4 (dummy artifacts)."""
+    y_final = np.asarray(y_final)
+    n_eq = y_final.shape[1]
+    if header == "model204":
+        cols = ["h_snow"] + [f"var{i}" for i in range(1, n_eq)]
+    else:
+        cols = [f"Var{i}" for i in range(n_eq)]
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for row in y_final:
+            f.write(",".join(_fmt_g(v) for v in row) + "\n")
+
+
+def write_dense_csv(
+    path: str,
+    dense: np.ndarray,  # [S, Q, N]
+    query_times: np.ndarray,
+    var_prefix: str = "var",
+) -> None:
+    """Legacy dense CSV (main.cpp:755-773): time fixed 8 decimals, values 9 sig digits."""
+    dense = np.asarray(dense)
+    s_count, n_q, n_eq = dense.shape
+    with open(path, "w") as f:
+        cols = ["time"] + [
+            f"{var_prefix}{i}_sys{s}" for s in range(s_count) for i in range(n_eq)
+        ]
+        f.write(",".join(cols) + "\n")
+        for q in range(n_q):
+            parts = [f"{query_times[q]:.8f}"]
+            for s in range(s_count):
+                parts.extend(f"{dense[s, q, i]:.9g}" for i in range(n_eq))
+            f.write(",".join(parts) + "\n")
+
+
+def _fmt_g(v: float) -> str:
+    # std::ostream default formatting: 6 significant digits.
+    return f"{v:.6g}"

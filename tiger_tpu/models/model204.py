@@ -1,0 +1,105 @@
+"""Model 204: 5-equation snow / static / surface / grav / aquifer runoff model.
+
+Physics match the reference exactly (src/models/model_204.hpp:43-114; Python
+twin: notebook cell 12).  State y = [h_snow, h_static, h_surface, h_grav,
+h_aquifer] in meters; time t in MINUTES.  Forcings: F[0] = rainfall [m/min],
+F[1] = temperature [degC]; missing forcings default to 0 (model_204.hpp:80-82).
+
+Spatial parameter fields (per system; see tiger_tpu.params for the CSV loader
+and unit conversions, reference src/I_O/parameters_loader.cpp:35-101):
+  c1 [m/min per mm/hr], infil, perco [m/min], Hu [m], lat [deg], sw, ss [-],
+  n_mann [-], slope [-], L [km], A_h [km^2], alpha3, alpha4 [min],
+  melt_f [m/min/degC], temp_thr [degC].
+
+Notes kept for parity:
+  - ET is the linear stub Emax = min(0.1*T, h_static) scaled by s = h_static/Hu
+    ("later base it on HamonPET", notebook cell 11).  HamonPET / ETactual /
+    soiltemp live in tiger_tpu.models.et / .soiltemp for future variants.
+  - Manning term uses h_surface**(2/3): like CUDA ``pow``, jnp.power returns
+    NaN for negative base, which downstream makes the step reject (err
+    comparisons are False for NaN) exactly as on the GPU.
+  - ``doy = 1 + t/1440`` is computed but unused by the active physics
+    (model_204.hpp:84) — not reproduced here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+#: Parameter keys expected in the per-system params dict.
+PARAM_FIELDS = (
+    "c1",
+    "infil",
+    "perco",
+    "Hu",
+    "lat",
+    "sw",
+    "ss",
+    "n_mann",
+    "slope",
+    "L",
+    "A_h",
+    "alpha3",
+    "alpha4",
+    "melt_f",
+    "temp_thr",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Model204:
+    N_EQ: int = 5
+    UID: int = 204
+
+    def rhs(self, t, y, params, forcings=None) -> jax.Array:
+        P = params
+        h_snow, h_stat, h_surf, h_grav, h_aq = y[0], y[1], y[2], y[3], y[4]
+
+        dtype = y.dtype
+        if forcings is None:
+            rainfall = jnp.zeros((), dtype)
+            temperature = jnp.zeros((), dtype)
+        else:
+            n_forc = forcings.shape[0]
+            rainfall = forcings[0].astype(dtype) if n_forc > 0 else jnp.zeros((), dtype)
+            temperature = forcings[1].astype(dtype) if n_forc > 1 else jnp.zeros((), dtype)
+
+        # 1) Snow
+        snowmelt = jnp.where(
+            temperature >= P["temp_thr"],
+            jnp.minimum(h_snow, temperature * P["melt_f"]),
+            0.0,
+        )
+        x1 = rainfall + snowmelt
+        dy0 = rainfall - snowmelt
+
+        # 2) Static store
+        x2 = jnp.maximum(0.0, x1 + h_stat - P["Hu"])
+        d1 = x1 - x2
+        e_max = jnp.minimum(0.1 * temperature, h_stat)
+        s = h_stat / P["Hu"]
+        dy1 = d1 - s * e_max
+
+        # 3) Surface store (Manning)
+        x3 = jnp.minimum(x2, P["infil"])
+        d2 = x2 - x3
+        alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_surf, 2.0 / 3.0) * jnp.sqrt(P["slope"])
+        w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
+        dy2 = d2 - h_surf * w
+
+        # 4) Gravitational store (interflow)
+        x4 = jnp.minimum(x3, P["perco"])
+        d3 = x3 - x4
+        dy3 = d3 - jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
+
+        # 5) Aquifer (baseflow)
+        dy4 = x4 - jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
+
+        return jnp.stack([dy0, dy1, dy2, dy3, dy4])
+
+
+#: Common cold-start initial state used by the reference driver (main.cpp:377).
+Y0_COMMON = (0.01, 3.0, 0.0, 5.0, 0.2)

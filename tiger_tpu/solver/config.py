@@ -1,0 +1,70 @@
+"""Solver configuration: tolerances, step-control constants, compat switches.
+
+Mirrors the reference's Parameters struct + event-detector constants
+(src/models/model_204.hpp:23-30, src/solver/event_detector.cuh:11-15) plus the
+knobs the reference hard-codes.  A frozen dataclass: hashable, so it can be a
+static argument of jitted solvers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    # Tolerances / controller (model_204.hpp:24-29; main.cpp:621,633-640)
+    rtol: float = 1e-6
+    atol: float = 1e-9
+    safety: float = 0.9
+    min_scale: float = 0.2
+    max_scale: float = 10.0
+
+    # Initial step: None => estimate (see controller.initial_step).  Modes:
+    #  'per-system'      — SciPy-style estimate from each system's actual y0
+    #                      (improvement over the reference);
+    #  'global-zero-y0'  — reference parity: ONE h0 for every system, computed
+    #                      from a zero state vector (main.cpp:615-641), which
+    #                      degenerates to max(1e-6, 0) = 1e-6 for Model 204.
+    initial_step: float | None = None
+    h0_mode: str = "per-system"
+
+    # Event / stiffness detection (event_detector.cuh:11-15, rk45_kernel.cu:131-170)
+    slope_jump_thresh: float = 100.0
+    min_step_fraction: float = 1e-6
+    max_rejects: int = 5  # stiff when reject_count > max_rejects
+
+    # Radau Newton iteration (radau_step_dense.cuh:90-141)
+    newton_max_iter: int = 10
+    newton_tol: float = 1e-8
+
+    # Radau error estimate: 'embedded3' (default) is a consistent order-3
+    # embedded estimate with step-control exponent 1/3; 'reference'
+    # reproduces the reference's inconsistent b_alt (radau_step_dense.cuh:73-77,
+    # exponent 1/5), whose O(h*f) error term caps steps near the tolerance —
+    # kept only as a behavioral-parity switch (see tableau.RADAU_E3 note).
+    radau_error_mode: str = "embedded3"
+
+    # Safety cap on total attempted steps per system (the reference has none and
+    # can loop forever, e.g. the slope-jump halving path never flags stiff).
+    # Systems hitting the cap are flagged failed AND stiff (so Radau retries).
+    max_steps: int = 1_000_000
+
+    # Dense-output fill: queries consumed in vectorized chunks of this width
+    # per inner-loop iteration (monotone cursor per system, queries sorted).
+    dense_chunk: int = 8
+
+    # True: dense rows for query times <= t0 are prefilled with y0 (sane
+    # default).  False: reference parity — such rows keep their zero
+    # initialization because the CUDA kernel only fills queries strictly
+    # inside (t, t+h] (rk45_kernel.cu:138-148), which is why dense_204_a.csv's
+    # t=0 row is all zeros.
+    fill_t0_queries: bool = True
+
+    def __post_init__(self):
+        if self.h0_mode not in ("per-system", "global-zero-y0"):
+            raise ValueError(f"unknown h0_mode: {self.h0_mode}")
+        if self.radau_error_mode not in ("embedded3", "reference"):
+            raise ValueError(f"unknown radau_error_mode: {self.radau_error_mode}")
+        if self.dense_chunk < 1:
+            raise ValueError("dense_chunk must be >= 1")

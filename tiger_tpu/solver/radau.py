@@ -1,0 +1,259 @@
+"""Batched implicit 3-stage Radau IIA (order 5) for stiff systems.
+
+Second-phase solver: systems the RK45 pass flagged stiff are RESTARTED from t0
+and fully re-integrated, rewriting their dense output from the first query —
+mirroring the reference orchestration (src/solver/radau_kernel.cu:20-140,
+src/solver/rk45_api.hpp:189-247) but vectorized: one lane per stiff system,
+simplified-Newton on the stacked 3Nx3N system solved with a batched
+``jnp.linalg.solve`` instead of one unpivoted 15x15 LU per CUDA thread
+(small_lu.cuh:13-40).
+
+Numerics (SURVEY.md 2.3): stage increments initialized to f(t, y); Jacobian
+refreshed by forward finite differences at every stage point on every Newton
+iteration (radau_step_dense.cuh:14-31, eps = sqrt(1e-16), h_eps = eps *
+max(1, |y_j|)); at most 10 iterations, converged when max|delta| < 1e-8;
+accept test err <= 1 with the embedded b_alt weights; power-law step control
+with exponent 1/5 and the same clamp/cap rules as RK45 (radau_kernel.cu:123-135).
+
+Deliberate divergences from the reference (its Radau path has unexercised
+bugs; SURVEY.md 2.4 says to fix them):
+  - forcing gather uses the correct minutes conversion and cumulative block
+    base (the reference kernel divides t by dt in HOURS and uses a wrong base,
+    radau_kernel.cu:71,84), and the Newton RHS evaluations see the properly
+    gathered step-start forcing vector (the reference passes the raw packed
+    array pointer as the forcing values, radau_kernel.cu:104);
+  - dense output uses the true collocation interpolant on the converged stage
+    slopes Z (the reference interpolates a garbage buffer; tableau.RADAU_DENSE).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tiger_tpu.forcing import ForcingSet, gather_forcings_column
+from tiger_tpu.solver import tableau
+from tiger_tpu.solver.config import SolverConfig
+from tiger_tpu.solver.rk45 import fill_dense_queries
+
+
+class RadauStats(NamedTuple):
+    n_accepted: jax.Array
+    n_rejected: jax.Array
+    n_attempts: jax.Array
+
+
+class RadauResult(NamedTuple):
+    y_final: jax.Array  # [S, N]; NaN where the max_steps cap was hit
+    dense: jax.Array  # [S, Q, N]
+    failed: jax.Array  # [S] bool
+    stats: RadauStats
+
+
+def _fd_jacobian_and_f(rhs_t, ts, y_s):
+    """f(ts, y_s) and forward-difference Jacobian J[i, j] = df_i/dy_j.
+
+    Matches approx_jacobian (radau_step_dense.cuh:14-31).
+    """
+    n = y_s.shape[0]
+    f_s = rhs_t(ts, y_s)
+    eps = jnp.sqrt(jnp.asarray(1e-16, y_s.dtype))
+    h_eps = eps * jnp.maximum(1.0, jnp.abs(y_s))  # [N]
+    y_pert = y_s[None, :] + jnp.diag(h_eps)  # row j perturbs component j
+    f_pert = jax.vmap(lambda yy: rhs_t(ts, yy))(y_pert)  # [N(j), N(i)]
+    jac = ((f_pert - f_s[None, :]) / h_eps[:, None]).T  # [i, j]
+    return f_s, jac
+
+
+def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig):
+    """One attempted Radau IIA step; returns (y_out, err_norm, Z[3, N])."""
+    dtype = y.dtype
+    n = y.shape[0]
+    a_mat = jnp.asarray(tableau.RADAU_A, dtype)
+    c_vec = jnp.asarray(tableau.RADAU_C, dtype)
+    b_vec = jnp.asarray(tableau.RADAU_B, dtype)
+
+    e_np = tableau.RADAU_E3 if cfg.radau_error_mode == "embedded3" else tableau.RADAU_E
+    e_vec = jnp.asarray(e_np, dtype)
+
+    f0 = rhs_t(t, y)
+    z0 = jnp.tile(f0, (3, 1))  # [3, N]
+    eye = jnp.eye(3 * n, dtype=dtype)
+
+    def newton_cond(state):
+        _, it, maxd = state
+        return (it < cfg.newton_max_iter) & (maxd >= cfg.newton_tol)
+
+    def newton_body(state):
+        z, it, _ = state
+        y_stage = y[None, :] + h * (a_mat @ z)  # [3, N]
+        ts = t + c_vec * h
+        f_st, j_st = jax.vmap(lambda tt, yy: _fd_jacobian_and_f(rhs_t, tt, yy))(ts, y_stage)
+        # Block (s, i), (sp, j) of the Newton matrix: delta - h*A[s,sp]*J_s[i,j]
+        # (block-row s uses the Jacobian evaluated at stage s, as the reference
+        # does, radau_step_dense.cuh:96-129).
+        blocks = a_mat[:, :, None, None] * j_st[:, None, :, :]  # [s, sp, i, j]
+        m_mat = eye - h * blocks.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+        rhs_vec = (-z + f_st).reshape(3 * n)
+        delta = jnp.linalg.solve(m_mat, rhs_vec)
+        z = z + delta.reshape(3, n)
+        maxd = jnp.max(jnp.abs(delta))
+        return z, it + 1, maxd
+
+    z, _, _ = lax.while_loop(
+        newton_cond, newton_body, (z0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
+    )
+
+    y_out = y + h * jnp.tensordot(b_vec, z, 1)
+    y_err = h * jnp.tensordot(e_vec, z, 1)
+    tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
+    err = jnp.max(jnp.abs(y_err / tol))
+    return y_out, err, z
+
+
+def radau_dense(y, z, h, theta):
+    """Collocation dense output: y + h * sum_s I_s(theta) Z_s (see tableau)."""
+    w = jnp.asarray(tableau.RADAU_DENSE, y.dtype)  # [3, 3]
+    qm = jnp.tensordot(w.T, z, 1)  # [3, N]; row m multiplies theta^(m+1)
+    th = jnp.asarray(theta)[..., None]
+    poly = qm[0] * th + qm[1] * th**2 + qm[2] * th**3
+    return y + h * poly
+
+
+class _Carry(NamedTuple):
+    t: jax.Array
+    h: jax.Array
+    y: jax.Array
+    next_q: jax.Array
+    n_acc: jax.Array
+    n_rej: jax.Array
+    n_att: jax.Array
+    dense: jax.Array
+
+
+def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
+    dtype = y0.dtype
+    n = y0.shape[0]
+    q_total = 0 if qt is None else qt.shape[0]
+    t0 = jnp.asarray(t0, dtype)
+    tf = jnp.asarray(tf, dtype)
+    i32 = jnp.int32
+
+    if q_total > 0 and cfg.fill_t0_queries:
+        dense0 = jnp.where((qt <= t0)[:, None], y0[None, :], jnp.zeros((q_total, n), dtype))
+    else:
+        dense0 = jnp.zeros((q_total, n), dtype)
+
+    carry0 = _Carry(
+        t=t0,
+        h=jnp.asarray(h0, dtype),
+        y=y0,
+        next_q=jnp.zeros((), i32),
+        n_acc=jnp.zeros((), i32),
+        n_rej=jnp.zeros((), i32),
+        n_att=jnp.zeros((), i32),
+        dense=dense0,
+    )
+
+    def cond(c: _Carry):
+        return (c.t < tf) & (c.n_att < cfg.max_steps)
+
+    def body(c: _Carry):
+        h_eff = jnp.where(c.t + c.h > tf, tf - c.t, c.h)
+        f_vals = gather(c.t) if gather is not None else None
+
+        def rhs_t(tt, yy):
+            return rhs(tt, yy, f_vals)
+
+        y_next, err, z = radau_step(rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg)
+        accept = err <= 1.0
+
+        if q_total > 0:
+            dense_eval = lambda th: radau_dense(c.y, z, h_eff, th)
+            dense, next_q = fill_dense_queries(
+                cfg, qt, c.dense, c.next_q, c.t, h_eff, dense_eval, accept
+            )
+        else:
+            dense, next_q = c.dense, c.next_q
+
+        # Step-control exponent: 1/(est_order + 1).  'reference' uses the
+        # reference's 1/5 (radau_kernel.cu:123); 'embedded3' pairs 1/3 with
+        # the order-2-embedded estimate.
+        expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
+        raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
+        fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
+        fac_rej = jnp.where(jnp.isnan(raw_fac), 1.0, jnp.minimum(raw_fac, 1.0))
+        fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
+        h_new = h_eff * jnp.where(accept, fac_acc, fac_rej)
+
+        return _Carry(
+            t=jnp.where(accept, c.t + h_eff, c.t),
+            h=h_new,
+            y=jnp.where(accept, y_next, c.y),
+            next_q=next_q,
+            n_acc=c.n_acc + accept.astype(i32),
+            n_rej=c.n_rej + (~accept).astype(i32),
+            n_att=c.n_att + 1,
+            dense=dense,
+        )
+
+    out = lax.while_loop(cond, body, carry0)
+    completed = out.t >= tf
+    failed = ~completed
+    y_final = jnp.where(completed, out.y, jnp.full_like(out.y, jnp.nan))
+    stats = RadauStats(n_accepted=out.n_acc, n_rejected=out.n_rej, n_attempts=out.n_att)
+    return RadauResult(y_final=y_final, dense=out.dense, failed=failed, stats=stats)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model", "t0", "tf", "meta", "config"))
+def _radau_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
+    def single(y0_row, h0_row, p_row, forc_col):
+        def rhs(t, y, f_vals):
+            return model.rhs(t, y, p_row, f_vals)
+
+        gather = None
+        if forc_col is not None:
+            gather = lambda t: gather_forcings_column(forc_col, meta, t)
+        return _radau_system(rhs, gather, t0, tf, qt, y0_row, h0_row, config)
+
+    in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
+    return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+
+
+def radau_solve(
+    model,
+    y0: jax.Array,
+    t0,
+    tf,
+    query_times: Optional[jax.Array] = None,
+    params=None,
+    forcings: Optional[ForcingSet] = None,
+    h0: Optional[jax.Array] = None,
+    config: SolverConfig = SolverConfig(),
+) -> RadauResult:
+    """Batched Radau IIA integration of ``y0[S, N]`` from t0 to tf.
+
+    Called by tiger_tpu.solver.api.solve on the compacted stiff subset; also
+    usable standalone.  Jitted internally.  ``h0`` defaults to the RK45
+    initial step (the reference reuses devParams.initialStep,
+    radau_kernel.cu:50).
+    """
+    y0 = jnp.asarray(y0)
+    s_count, _ = y0.shape
+    if h0 is None:
+        from tiger_tpu.solver.controller import initial_step
+
+        h0 = initial_step(model, y0, t0, params, forcings, config)
+    h0 = jnp.broadcast_to(jnp.asarray(h0, y0.dtype), (s_count,))
+    qt = None if query_times is None else jnp.asarray(query_times, y0.dtype)
+    forc_data = None if forcings is None else forcings.data
+    meta = None if forcings is None else forcings.meta
+    return _radau_solve_impl(
+        model, y0, float(t0), float(tf), qt, params, forc_data, meta, h0, config
+    )

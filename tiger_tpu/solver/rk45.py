@@ -1,0 +1,315 @@
+"""Batched adaptive Dormand-Prince RK45 with dense output and stiffness flags.
+
+TPU-native re-design of the reference CUDA path (src/solver/rk45_kernel.cu:17-176,
+src/solver/rk45_step_dense.cuh:34-244): the reference gives every ODE system its
+own CUDA thread with private divergent control flow; here every system is one
+*vectorized lane*.  A single per-system adaptive loop is written as
+``lax.while_loop`` and ``jax.vmap``-ed over the batch — JAX's while-loop
+batching rule masks carry updates per lane, so finished / stiff-flagged systems
+automatically become no-ops while the rest keep stepping.  Under ``jit`` the
+whole integration is one fused XLA computation: each attempted step is a
+handful of [S]-wide VPU ops (7 RHS evaluations, tableau accumulations, the
+infinity-norm error test) plus a masked scatter for dense output.
+
+Numerics reproduced exactly (see SURVEY.md section 2.2):
+  - infinity-norm error: max_i |h * sum_j (b-b_alt)_j k_j,i| / (atol + rtol *
+    max(|y_i|, |y_out_i|))  — NOT SciPy's RMS norm (rk45_step_dense.cuh:123-142);
+  - accept if err <= 1; h *= clip(safety * (1/(err+1e-16))^0.2, minScale,
+    maxScale), with the factor additionally capped at 1 on rejection
+    (rk45_kernel.cu:150-163);
+  - last step clamped to land exactly on tf (rk45_kernel.cu:54);
+  - slope-jump guard after an accepted error test: if max_i|k0_i - k1_i| > 100
+    halve h (floor initialStep * 1e-6) and retry (rk45_kernel.cu:131-136);
+  - stiffness flag: > 5 consecutive rejections OR h < (tf-t0) * 1e-6; the
+    system is abandoned for the Radau pass (rk45_kernel.cu:160-170);
+  - forcing sampled once per attempted step at step-start t, frozen across all
+    7 stages (rk45_kernel.cu:84-116);
+  - dense output: quartic DP interpolant fills all sorted query times in
+    (t, t+h] per accepted step via a monotone cursor (rk45_kernel.cu:138-148);
+    k[0] is recomputed each attempt (no FSAL), 7 RHS evals per attempt.
+
+NaN semantics match CUDA: a NaN error norm fails ``err <= 1.0`` (reject), and
+the rejection factor ``fmin(NaN, 1.0) == 1.0`` in CUDA is reproduced with an
+explicit isnan select, so NaN steps shrink-retry/stiff-flag identically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tiger_tpu.forcing import ForcingSet, gather_forcings_column
+from tiger_tpu.solver import tableau
+from tiger_tpu.solver.config import SolverConfig
+from tiger_tpu.solver.controller import initial_step
+
+
+class RKStats(NamedTuple):
+    n_accepted: jax.Array  # [S] accepted steps
+    n_rejected: jax.Array  # [S] rejected attempts
+    n_attempts: jax.Array  # [S] total attempted steps
+
+
+class RK45Result(NamedTuple):
+    y_final: jax.Array  # [S, N]; NaN for systems that did not finish (stiff/failed)
+    dense: jax.Array  # [S, Q, N]
+    stiff: jax.Array  # [S] bool — flagged for the Radau pass (includes failed)
+    failed: jax.Array  # [S] bool — hit the max_steps safety cap
+    h0: jax.Array  # [S] initial step actually used (needed by the Radau pass)
+    stats: RKStats
+
+
+def dp_step(rhs_t, t, y, h, k0, rtol, atol):
+    """One attempted Dormand-Prince 5(4) step for a single system.
+
+    ``rhs_t(t, y) -> dy`` already closes over spatial params and the frozen
+    forcing values.  Returns (y_out, err_norm, k[7, N]).  Mirrors
+    rk45_step_dense.cuh:34-145 (stages, 5th-order update, inf-norm error).
+    """
+    dtype = y.dtype
+    a = tableau.DP_A
+    c = tableau.DP_C
+    ks = [k0]
+    for s in range(1, 7):
+        acc = y
+        for j in range(s):
+            if a[s, j] != 0.0:
+                acc = acc + (h * a[s, j]) * ks[j]
+        ks.append(rhs_t(t + c[s] * h, acc))
+    k = jnp.stack(ks)  # [7, N]
+
+    b = jnp.asarray(tableau.DP_B, dtype)
+    e = jnp.asarray(tableau.DP_E, dtype)
+    y_out = y + h * jnp.tensordot(b, k, 1)
+    y_err = h * jnp.tensordot(e, k, 1)
+    tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
+    err = jnp.max(jnp.abs(y_err / tol))
+    return y_out, err, k
+
+
+def dp_dense(y, k, h, theta):
+    """Quartic DP dense-output interpolant (rk45_step_dense.cuh:193-243).
+
+    ``theta`` may be a scalar or a vector [W]; returns y(t_n + theta*h) with
+    shape theta.shape + [N].
+    """
+    p = jnp.asarray(tableau.DP_P, y.dtype)
+    qm = jnp.tensordot(p.T, k, 1)  # [4, N]
+    th = jnp.asarray(theta)[..., None]
+    poly = qm[0] * th + qm[1] * th**2 + qm[2] * th**3 + qm[3] * th**4
+    return y + h * poly
+
+
+class _Carry(NamedTuple):
+    t: jax.Array
+    h: jax.Array
+    y: jax.Array
+    next_q: jax.Array
+    reject: jax.Array
+    stiff: jax.Array
+    n_acc: jax.Array
+    n_rej: jax.Array
+    n_att: jax.Array
+    dense: jax.Array
+
+
+def fill_dense_queries(cfg, qt, dense, next_q, t, h, dense_eval, active):
+    """Consume all sorted queries in (t, t+h], chunked ``cfg.dense_chunk`` wide.
+
+    Per-system monotone cursor (rk45_kernel.cu:138-148); queries exactly at the
+    current t are consumed but not written (the t0-skip that makes the
+    reference's dense.csv start at 0.00049995).  ``active`` gates the whole
+    fill so rejected/slope-cut attempts write nothing.  ``dense_eval(theta)``
+    maps a [W] vector of step fractions to interpolated states [W, N] — shared
+    by the RK45 (DP quartic) and Radau (collocation) phases.
+    """
+    q_total = qt.shape[0]
+    w = cfg.dense_chunk
+    t1 = t + h
+    i32 = next_q.dtype
+
+    def q_time(q):
+        return jnp.where(q < q_total, qt[jnp.clip(q, 0, q_total - 1)], jnp.inf)
+
+    def cond(state):
+        _, q = state
+        return active & (q < q_total) & (q_time(q) <= t1)
+
+    def body(state):
+        d, q = state
+        idxs = q + jnp.arange(w, dtype=i32)
+        tq = jnp.where(idxs < q_total, qt[jnp.clip(idxs, 0, q_total - 1)], jnp.inf)
+        in_window = tq <= t1
+        valid = in_window & (tq > t)
+        theta = jnp.where(valid, (tq - t) / h, 0.0).astype(d.dtype)
+        yd = dense_eval(theta)  # [W, N]
+        old = d[jnp.clip(idxs, 0, q_total - 1)]
+        vals = jnp.where(valid[:, None], yd, old)
+        d = d.at[idxs].set(vals, mode="drop")
+        q = q + jnp.sum(in_window, dtype=q.dtype)
+        return d, q
+
+    return lax.while_loop(cond, body, (dense, next_q))
+
+
+def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
+    """Integrate ONE system t0 -> tf (vmapped over the batch by the caller).
+
+    ``rhs(t, y, F)`` is the model RHS closed over this system's parameters;
+    ``gather(t) -> F`` returns the zero-order-hold forcing vector, or None.
+    """
+    dtype = y0.dtype
+    n = y0.shape[0]
+    q_total = 0 if qt is None else qt.shape[0]
+    t0 = jnp.asarray(t0, dtype)
+    tf = jnp.asarray(tf, dtype)
+    span = tf - t0
+    i32 = jnp.int32
+
+    if q_total > 0 and cfg.fill_t0_queries:
+        dense0 = jnp.where((qt <= t0)[:, None], y0[None, :], jnp.zeros((q_total, n), dtype))
+    else:
+        dense0 = jnp.zeros((q_total, n), dtype)
+
+    carry0 = _Carry(
+        t=t0,
+        h=jnp.asarray(h0, dtype),
+        y=y0,
+        next_q=jnp.zeros((), i32),
+        reject=jnp.zeros((), i32),
+        stiff=jnp.zeros((), bool),
+        n_acc=jnp.zeros((), i32),
+        n_rej=jnp.zeros((), i32),
+        n_att=jnp.zeros((), i32),
+        dense=dense0,
+    )
+
+    def cond(c: _Carry):
+        return (c.t < tf) & (~c.stiff) & (c.n_att < cfg.max_steps)
+
+    def body(c: _Carry):
+        h_eff = jnp.where(c.t + c.h > tf, tf - c.t, c.h)
+        f_vals = gather(c.t) if gather is not None else None
+
+        def rhs_t(tt, yy):
+            return rhs(tt, yy, f_vals)
+
+        k0 = rhs_t(c.t, c.y)
+        y_next, err, k = dp_step(rhs_t, c.t, c.y, h_eff, k0, cfg.rtol, cfg.atol)
+
+        accept = err <= 1.0  # NaN err => False, as in CUDA
+        jump = jnp.max(jnp.abs(k[0] - k[1])) > cfg.slope_jump_thresh
+        advance = accept & ~jump
+        slope_cut = accept & jump
+
+        if q_total > 0:
+            dense_eval = lambda th: dp_dense(c.y, k, h_eff, th)
+            dense, next_q = fill_dense_queries(
+                cfg, qt, c.dense, c.next_q, c.t, h_eff, dense_eval, advance
+            )
+        else:
+            dense, next_q = c.dense, c.next_q
+
+        raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
+        fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
+        # CUDA fmin(NaN, 1.0) returns 1.0; jnp.minimum propagates NaN — match CUDA.
+        fac_rej = jnp.where(jnp.isnan(raw_fac), 1.0, jnp.minimum(raw_fac, 1.0))
+        fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
+
+        h_adv = h_eff * fac_acc
+        h_slope = jnp.maximum(h_eff * 0.5, jnp.asarray(h0, dtype) * cfg.min_step_fraction)
+        h_rej = h_eff * fac_rej
+        h_new = jnp.where(advance, h_adv, jnp.where(slope_cut, h_slope, h_rej))
+
+        reject_new = jnp.where(accept, 0, c.reject + 1)
+        stiff_new = (~accept) & (
+            (reject_new > cfg.max_rejects) | (h_new < span * cfg.min_step_fraction)
+        )
+
+        return _Carry(
+            t=jnp.where(advance, c.t + h_eff, c.t),
+            h=h_new,
+            y=jnp.where(advance, y_next, c.y),
+            next_q=next_q,
+            reject=reject_new,
+            stiff=c.stiff | stiff_new,
+            n_acc=c.n_acc + advance.astype(i32),
+            n_rej=c.n_rej + (~accept).astype(i32),
+            n_att=c.n_att + 1,
+            dense=dense,
+        )
+
+    out = lax.while_loop(cond, body, carry0)
+
+    completed = out.t >= tf
+    failed = (~completed) & (~out.stiff)
+    stiff = out.stiff | failed  # failed systems also go to the Radau pass
+    nan = jnp.full_like(out.y, jnp.nan)
+    y_final = jnp.where(completed, out.y, nan)
+    stats = RKStats(n_accepted=out.n_acc, n_rejected=out.n_rej, n_attempts=out.n_att)
+    return RK45Result(
+        y_final=y_final,
+        dense=out.dense,
+        stiff=stiff,
+        failed=failed,
+        h0=jnp.asarray(h0, dtype),
+        stats=stats,
+    )
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("model", "t0", "tf", "meta", "config"))
+def _rk45_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
+    def single(y0_row, h0_row, p_row, forc_col):
+        def rhs(t, y, f_vals):
+            return model.rhs(t, y, p_row, f_vals)
+
+        gather = None
+        if forc_col is not None:
+            gather = lambda t: gather_forcings_column(forc_col, meta, t)
+        return _rk45_system(rhs, gather, t0, tf, qt, y0_row, h0_row, config)
+
+    in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
+    return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+
+
+def rk45_solve(
+    model,
+    y0: jax.Array,
+    t0,
+    tf,
+    query_times: Optional[jax.Array] = None,
+    params=None,
+    forcings: Optional[ForcingSet] = None,
+    h0: Optional[jax.Array] = None,
+    config: SolverConfig = SolverConfig(),
+) -> RK45Result:
+    """Batched RK45 integration of ``y0[S, N]`` from t0 to tf.
+
+    Clean-API analog of the reference's ``run_rk45<Model>``
+    (src/solver/rk45_api.hpp:273-313) minus the Radau phase — see
+    tiger_tpu.solver.api.solve for the full two-phase pipeline.  Jitted
+    internally (model, time span, forcing layout and config are static;
+    repeated calls with the same structure hit the compile cache).
+
+    ``params``: dict of [S] arrays (SpatialParams SoA) or None.
+    ``forcings``: ForcingSet with data [T_total, S] or None.
+    ``h0``: explicit per-system initial steps [S]; None => config-driven
+    estimate (see SolverConfig.h0_mode).
+    """
+    y0 = jnp.asarray(y0)
+    s_count, _ = y0.shape
+    if h0 is None:
+        h0 = initial_step(model, y0, t0, params, forcings, config)
+    h0 = jnp.broadcast_to(jnp.asarray(h0, y0.dtype), (s_count,))
+    qt = None if query_times is None else jnp.asarray(query_times, y0.dtype)
+    forc_data = None if forcings is None else forcings.data
+    meta = None if forcings is None else forcings.meta
+    return _rk45_solve_impl(
+        model, y0, float(t0), float(tf), qt, params, forc_data, meta, h0, config
+    )
