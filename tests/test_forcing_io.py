@@ -1,0 +1,149 @@
+"""Forcing ingestion pipeline + params loader + output writers."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiger_tpu import params as params_mod
+from tiger_tpu.forcing import (
+    ForcingSet,
+    ForcingSpec,
+    gather_forcings_column,
+    load_forcings,
+    remap_grid_to_systems,
+)
+from tiger_tpu.io import (
+    LookupTable,
+    NetCDFReader,
+    write_dense_netcdf,
+    write_final_netcdf,
+    write_grid_forcing,
+)
+
+
+@pytest.fixture
+def grid_files(tmp_path):
+    """Synthesize ERA5-shaped pr (hourly) and t2m (daily) grids + lookup CSV."""
+    rng = np.random.default_rng(3)
+    n_lat, n_lon = 4, 6
+    pr = rng.uniform(0, 0.002, (48, n_lat, n_lon)).astype(np.float32)
+    t2m = rng.uniform(-5, 15, (2, n_lat, n_lon)).astype(np.float32)
+    pr_path, t2m_path = str(tmp_path / "pr.nc"), str(tmp_path / "t2m.nc")
+    write_grid_forcing(pr_path, "pr", pr)
+    write_grid_forcing(t2m_path, "t2m", t2m)
+
+    streams = np.array([101, 202, 303, 404])
+    lat_idx = np.array([0, 1, 3, 2])
+    lon_idx = np.array([5, 0, 2, 4])
+    lookup_path = str(tmp_path / "lookup.csv")
+    with open(lookup_path, "w") as f:
+        f.write("stream,lat_index,lon_index\n")
+        for s, la, lo in zip(streams, lat_idx, lon_idx):
+            f.write(f"{s},{la},{lo}\n")
+    return dict(
+        pr=pr, t2m=t2m, pr_path=pr_path, t2m_path=t2m_path,
+        lookup=lookup_path, streams=streams, lat_idx=lat_idx, lon_idx=lon_idx,
+        n_lon=n_lon,
+    )
+
+
+def test_netcdf_roundtrip(grid_files):
+    with NetCDFReader(grid_files["pr_path"], "pr") as rd:
+        assert (rd.time_size, rd.lat_size, rd.lon_size) == grid_files["pr"].shape
+        chunk = rd.load_time_chunk(5, 10)
+        np.testing.assert_array_equal(chunk, grid_files["pr"][5:15])
+        with pytest.raises(IndexError):
+            rd.load_time_chunk(47, 5)
+
+
+def test_lookup_and_remap(grid_files):
+    lut = LookupTable.load(grid_files["lookup"])
+    flat = lut.flat_index(grid_files["streams"], grid_files["n_lon"])
+    expect = grid_files["lat_idx"] * grid_files["n_lon"] + grid_files["lon_idx"]
+    np.testing.assert_array_equal(flat, expect)
+    remapped = remap_grid_to_systems(grid_files["pr"], flat)
+    for s in range(4):
+        np.testing.assert_array_equal(
+            remapped[:, s],
+            grid_files["pr"][:, grid_files["lat_idx"][s], grid_files["lon_idx"][s]],
+        )
+    with pytest.raises(KeyError):
+        lut.flat_index(np.array([999]), grid_files["n_lon"])
+
+
+def test_load_forcings_end_to_end(grid_files):
+    specs = [
+        ForcingSpec(grid_files["pr_path"], "pr", 1.0),
+        ForcingSpec(grid_files["t2m_path"], "t2m", 24.0),
+    ]
+    fs = load_forcings(specs, grid_files["streams"], grid_files["lookup"], duration_days=2.0)
+    assert fs.meta.n_steps == (48, 2)
+    assert fs.meta.dt_min == (60.0, 1440.0)
+    assert fs.data.shape == (50, 4)
+
+    # Zero-order-hold gather semantics (rk45_kernel.cu:90-110): floor + clamp.
+    col = fs.data[:, 2]
+    la, lo = grid_files["lat_idx"][2], grid_files["lon_idx"][2]
+    for t, i_pr, i_t2m in [(0.0, 0, 0), (59.9, 0, 0), (60.0, 1, 0), (1439.9, 23, 0),
+                           (1440.0, 24, 1), (1e9, 47, 1), (-5.0, 0, 0)]:
+        vals = np.asarray(gather_forcings_column(col, fs.meta, jnp.float64(t)))
+        assert vals[0] == grid_files["pr"][i_pr, la, lo], t
+        assert vals[1] == grid_files["t2m"][i_t2m, la, lo], t
+
+
+def test_spatial_params_loader_small_test_csv():
+    p = params_mod.load_spatial_params("/root/reference/data/small_test.csv")
+    assert params_mod.num_systems(p) == 10
+    raw = np.loadtxt(
+        "/root/reference/data/small_test.csv", delimiter=",", skiprows=1, ndmin=2
+    )
+    with open("/root/reference/data/small_test.csv") as f:
+        header = f.readline().strip().split(",")
+    col = {name: raw[:, i] for i, name in enumerate(header)}
+    # Unit conversions (parameters_loader.cpp:57-101).
+    c1 = 0.001 / 60.0
+    np.testing.assert_allclose(p["infil"], col["i2"] * c1)
+    np.testing.assert_allclose(p["perco"], col["i3"] * c1)
+    np.testing.assert_allclose(p["alpha3"], col["res_ss"] * 1440.0)
+    np.testing.assert_allclose(p["alpha4"], col["res_gw"] * 1440.0)
+    np.testing.assert_allclose(p["n_mann"], col["n"])
+    np.testing.assert_allclose(p["L"], col["length_km"])
+    np.testing.assert_allclose(p["A_h"], col["drainage_area_km2"])
+    np.testing.assert_array_equal(p["stream"], col["stream"].astype(np.int64))
+    # Model-facing dict has exactly the RHS fields.
+    from tiger_tpu.models.model204 import PARAM_FIELDS
+    assert set(params_mod.model_params(p)) == set(PARAM_FIELDS)
+
+
+def test_output_writers_roundtrip(tmp_path):
+    import h5py
+
+    y_final = np.arange(12, dtype=np.float64).reshape(3, 4)
+    dense = np.arange(24, dtype=np.float64).reshape(3, 2, 4)
+    qt = np.array([60.0, 120.0])
+    links = np.array([11, 22, 33])
+    fpath, dpath = str(tmp_path / "final.nc"), str(tmp_path / "dense.nc")
+    write_final_netcdf(fpath, y_final, links, compression_level=2)
+    write_dense_netcdf(dpath, dense, qt, links, compression_level=2)
+    with h5py.File(fpath) as f:
+        np.testing.assert_array_equal(f["outputs"][:], y_final)
+        np.testing.assert_array_equal(f["system"][:], links)
+        assert f["system"].attrs["long_name"] == b"LinkID"
+    with h5py.File(dpath) as f:
+        np.testing.assert_array_equal(f["outputs"][:], dense)
+        np.testing.assert_array_equal(f["time"][:], qt)
+        assert f["time"].attrs["units"] == b"minutes since start of simulation"
+
+
+def test_dense_csv_format(tmp_path):
+    from tiger_tpu.io import write_dense_csv, write_final_csv
+
+    dense = np.array([[[1.23456789, 2.0], [3.0, 4.0]]])  # [1, 2, 2]
+    path = str(tmp_path / "d.csv")
+    write_dense_csv(path, dense, np.array([0.0, 60.0]))
+    lines = open(path).read().splitlines()
+    assert lines[0] == "time,var0_sys0,var1_sys0"
+    assert lines[1].startswith("0.00000000,1.23456789,2")
+    fpath = str(tmp_path / "f.csv")
+    write_final_csv(fpath, np.array([[1.0, 2.0, 3.0, 4.0, 5.0]]))
+    assert open(fpath).read().splitlines()[0] == "h_snow,var1,var2,var3,var4"

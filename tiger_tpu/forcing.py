@@ -26,7 +26,7 @@ this module is pure array plumbing so it stays jittable.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -103,6 +103,49 @@ def gather_forcings_column(col: jax.Array, meta: ForcingMeta, t: jax.Array) -> j
         idx = jnp.clip(jnp.floor(t / dt).astype(jnp.int32), 0, n_t - 1)
         vals.append(jax.lax.dynamic_index_in_dim(col, off + idx, keepdims=False))
     return jnp.stack(vals)
+
+
+@dataclasses.dataclass(frozen=True)
+class ForcingSpec:
+    """One gridded forcing source (reference NCForcing, main.cpp:508-515)."""
+
+    path: str
+    var: str
+    dt_hours: float  # hours per time step (converted to minutes at pack time)
+
+
+def load_forcings(
+    specs: Sequence[ForcingSpec],
+    stream_ids: np.ndarray,
+    lookup_csv: str,
+    start_step: int = 0,
+    duration_days: Optional[float] = None,
+) -> "ForcingSet":
+    """NetCDF grids -> lookup remap -> packed ForcingSet for the given systems.
+
+    Mirrors the reference ingestion loop (main.cpp:494-574): the lookup CSV
+    maps stream id -> (lat_idx, lon_idx); each forcing contributes
+    round(duration_days*24/dt_hours) steps (capped at file length; the
+    reference loads 2 days, main.cpp:525).  ``duration_days=None`` loads the
+    full file.
+    """
+    from tiger_tpu.io.lookup import LookupTable
+    from tiger_tpu.io.netcdf import NetCDFReader
+
+    lut = LookupTable.load(lookup_csv)
+    series, dt_minutes = [], []
+    for spec in specs:
+        with NetCDFReader(spec.path, spec.var) as rd:
+            if duration_days is None:
+                n_steps = rd.time_size - start_step
+            else:
+                n_steps = int(round(duration_days * 24.0 / spec.dt_hours))
+                n_steps = min(n_steps, rd.time_size - start_step)
+            flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
+            chunk = rd.load_time_chunk(start_step, n_steps)
+            series.append(remap_grid_to_systems(chunk, flat))
+            dt_minutes.append(spec.dt_hours * 60.0)
+    return ForcingSet.from_series(series, dt_minutes)
 
 
 def remap_grid_to_systems(grid_chunk: np.ndarray, flat_index: np.ndarray) -> np.ndarray:
