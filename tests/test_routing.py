@@ -1,0 +1,101 @@
+"""Routing: topology build, single-device and sharded downstream accumulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tiger_tpu import routing
+
+
+def _random_forest(rng, n):
+    """Random forest where next-in-row-order goes strictly downstream; ids are
+    random (unsorted), so id->row resolution is exercised."""
+    next_row = np.full(n, -1, np.int64)
+    for i in range(n - 1):
+        if rng.uniform() < 0.85:
+            next_row[i] = rng.integers(i + 1, n)
+    ids = rng.choice(1_000_000, size=n, replace=False) + 1  # unique nonzero ids
+    nxt = np.where(next_row >= 0, ids[np.clip(next_row, 0, None)], -999)
+    return ids, nxt
+
+
+def _brute_accumulate(q, next_idx):
+    n = len(q)
+    acc = q.astype(np.float64).copy()
+    # push each link's q down its entire path
+    for i in range(n):
+        j = next_idx[i]
+        while j >= 0:
+            acc[j] += q[i]
+            j = next_idx[j]
+    return acc
+
+
+def test_topology_and_accumulate_small():
+    # chain 0->1->2->3, plus 4->2, 5 outlet
+    stream = np.array([10, 20, 30, 40, 50, 60])
+    nxt = np.array([20, 30, 40, -1, 30, -1])
+    topo = routing.build_topology(stream, nxt)
+    np.testing.assert_array_equal(topo.next_idx, [1, 2, 3, -1, 2, -1])
+    assert topo.depth == 3
+    q = np.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0])
+    acc = np.asarray(routing.accumulate_downstream(jnp.asarray(q), jnp.asarray(topo.next_idx), topo.depth))
+    np.testing.assert_allclose(acc, _brute_accumulate(q, topo.next_idx))
+
+
+def test_accumulate_random_network():
+    rng = np.random.default_rng(11)
+    stream, nxt = _random_forest(rng, 200)
+    topo = routing.build_topology(stream, nxt)
+    q = rng.uniform(0, 1, 200)
+    acc = np.asarray(
+        routing.accumulate_downstream(jnp.asarray(q), jnp.asarray(topo.next_idx), topo.depth)
+    )
+    np.testing.assert_allclose(acc, _brute_accumulate(q, topo.next_idx), rtol=1e-12)
+
+
+def test_cycle_detection():
+    with pytest.raises(ValueError, match="cycle"):
+        routing.build_topology(np.array([1, 2]), np.array([2, 1]))
+
+
+def test_sharded_accumulate_matches_single_device():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual device mesh")
+    from tiger_tpu.dist import systems_mesh
+
+    rng = np.random.default_rng(5)
+    n_dev = 8
+    stream, nxt = _random_forest(rng, 16 * n_dev - 3)
+    topo = routing.build_topology(stream, nxt)
+    plan = routing.plan_sharded_topology(topo, n_dev)
+    s_pad = plan.n_shards * plan.block
+
+    q = rng.uniform(0, 1, len(stream))
+    q_pad = np.zeros(s_pad)
+    q_pad[: len(q)] = q
+
+    mesh = systems_mesh(jax.devices()[:n_dev])
+    acc_sharded = np.asarray(
+        routing.accumulate_downstream_sharded(jnp.asarray(q_pad), plan, mesh)
+    )[: len(q)]
+    acc_ref = np.asarray(
+        routing.accumulate_downstream(jnp.asarray(q), jnp.asarray(topo.next_idx), topo.depth)
+    )
+    np.testing.assert_allclose(acc_sharded, acc_ref, rtol=1e-12)
+
+
+def test_link_runoff_204_shapes():
+    params = {
+        "n_mann": jnp.full(3, 0.03),
+        "slope": jnp.full(3, 0.05),
+        "L": jnp.full(3, 1.0),
+        "A_h": jnp.full(3, 10.0),
+        "alpha3": jnp.full(3, 2880.0),
+        "alpha4": jnp.full(3, 7200.0),
+    }
+    y = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 5)))
+    q = routing.link_runoff_204(y, params)
+    assert q.shape == (3,)
+    assert bool((np.asarray(q) >= 0).all())

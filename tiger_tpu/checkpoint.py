@@ -1,0 +1,60 @@
+"""Checkpoint / hot-start support.
+
+The reference *specifies* cold/hot initial conditions in its config schema
+(config_loader.hpp:20-23, data/config.yaml initial.mode) but never implements
+them.  Here: cold start = common y0 vector broadcast over systems (the
+reference's hard-coded y0_common, main.cpp:377); hot start = restore the full
+[S, N] state from a state file, which doubles as checkpoint/resume.
+
+State files use the final-state NetCDF layout (system, variable) plus a
+``sim_time_minutes`` attribute, so a run's final output can be fed back as the
+next run's hot start.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import h5py
+import numpy as np
+
+from tiger_tpu.io.output import write_final_netcdf
+
+
+def save_state(path: str, y: np.ndarray, link_ids: np.ndarray, sim_time_minutes: float) -> None:
+    """Write a hot-start/checkpoint state file."""
+    write_final_netcdf(path, np.asarray(y), np.asarray(link_ids))
+    with h5py.File(path, "a") as f:
+        f.attrs["sim_time_minutes"] = float(sim_time_minutes)
+
+
+def load_state(
+    path: str, link_ids: Optional[np.ndarray] = None
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Read (y [S, N], link_ids [S], sim_time_minutes) from a state file.
+
+    If ``link_ids`` is given, rows are re-ordered to match it (a hot start may
+    use a subset/permutation of the checkpointed basin, e.g. when the shard
+    layout changed between runs); missing links raise.
+    """
+    with h5py.File(path, "r") as f:
+        y = np.asarray(f["outputs"], np.float64)
+        ids = np.asarray(f["system"], np.int64)
+        t = float(f.attrs.get("sim_time_minutes", 0.0))
+    if link_ids is not None:
+        link_ids = np.asarray(link_ids, np.int64)
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], link_ids)
+        pos = np.clip(pos, 0, len(ids) - 1)
+        found = ids[order][pos] == link_ids
+        if not found.all():
+            raise KeyError(f"Hot-start file missing links: {link_ids[~found][:10]}")
+        y = y[order][pos]
+        ids = link_ids
+    return y, ids, t
+
+
+def cold_state(y0_common, num_systems: int) -> np.ndarray:
+    """Broadcast a per-variable cold-start vector over the basin."""
+    y0 = np.asarray(y0_common, np.float64)
+    return np.tile(y0, (num_systems, 1))

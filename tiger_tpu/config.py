@@ -1,0 +1,203 @@
+"""YAML configuration system.
+
+Implements, for real, the schema the reference specified but never compiled
+(src/I_O/config_loader.{hpp,cpp} is excluded from the Makefile; the schema
+lives in /root/reference/data/config.yaml): model selection, ISO-8601 time
+span, cold/hot initial conditions, forcing discovery, output interval and
+state subset, solver tolerances, and parallel-run knobs.  The reference's MPI
+buffer sizes become sharding knobs; flags are carried for compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as _dt
+import re
+from typing import List, Optional
+
+import yaml
+
+
+def _parse_iso8601(s: str) -> _dt.datetime:
+    return _dt.datetime.fromisoformat(s)
+
+
+_INTERVAL_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(m|min|h|hr|d|day)s?\s*$")
+
+
+def parse_interval_minutes(text: str) -> float:
+    """'15m' / '1h' / '1d' -> minutes (config.yaml output.print_interval)."""
+    m = _INTERVAL_RE.match(str(text))
+    if not m:
+        raise ValueError(f"Bad interval {text!r}; expected like '15m', '1h', '1d'")
+    value, unit = float(m.group(1)), m.group(2)
+    return value * {"m": 1.0, "min": 1.0, "h": 60.0, "hr": 60.0, "d": 1440.0, "day": 1440.0}[unit]
+
+
+@dataclasses.dataclass
+class ModelInfo:
+    uid: int = 204
+    name: str = ""
+
+
+@dataclasses.dataclass
+class TimeInfo:
+    start: _dt.datetime = _dt.datetime(2000, 1, 1)
+    end: _dt.datetime = _dt.datetime(2000, 1, 3)
+
+    @property
+    def duration_minutes(self) -> float:
+        return (self.end - self.start).total_seconds() / 60.0
+
+
+@dataclasses.dataclass
+class InitialInfo:
+    mode: str = "cold"  # "cold" | "hot"
+    file: str = ""  # state file (hot mode); NetCDF final-state layout
+    cold_state: Optional[List[float]] = None  # per-variable cold-start y0
+
+
+@dataclasses.dataclass
+class ForcingVarInfo:
+    precipitation: str = "pr"
+    temperature: str = "t2m"
+
+
+@dataclasses.dataclass
+class ForcingInfo:
+    type: str = "folder_nc"
+    path: str = ""
+    lookup: str = ""
+    vars: ForcingVarInfo = dataclasses.field(default_factory=ForcingVarInfo)
+    # Extension over the reference schema: explicit per-forcing files + dt
+    # (the reference hard-codes these in main.cpp:508-515).
+    files: List[dict] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class OutputInfo:
+    print_interval: str = "1h"
+    states: Optional[List[int]] = None  # None => all states
+    path: str = "."
+    prefix: str = "example"
+    compression_level: int = 0
+    format: str = "netcdf"  # "netcdf" | "csv"
+
+
+@dataclasses.dataclass
+class SolverInfo:
+    method: str = "RK45"
+    rtol: float = 1e-6
+    atol: float = 1e-9
+    safety: float = 0.9
+    min_scale: float = 0.2
+    max_scale: float = 10.0
+    initial_step: Optional[float] = None
+
+
+@dataclasses.dataclass
+class ParallelInfo:
+    # Reference mpi: block carried for compatibility; sharding is automatic.
+    step_storage: int = 30
+    transfer_buffer: int = 10
+    discontinuity_buf: int = 0
+
+
+@dataclasses.dataclass
+class FlagsInfo:
+    uses_dam: bool = False
+    convert_area: bool = False
+
+
+@dataclasses.dataclass
+class SimulationConfig:
+    model: ModelInfo = dataclasses.field(default_factory=ModelInfo)
+    time: TimeInfo = dataclasses.field(default_factory=TimeInfo)
+    initial: InitialInfo = dataclasses.field(default_factory=InitialInfo)
+    params_file: str = ""
+    forcings: ForcingInfo = dataclasses.field(default_factory=ForcingInfo)
+    output: OutputInfo = dataclasses.field(default_factory=OutputInfo)
+    solver: SolverInfo = dataclasses.field(default_factory=SolverInfo)
+    parallel: ParallelInfo = dataclasses.field(default_factory=ParallelInfo)
+    flags: FlagsInfo = dataclasses.field(default_factory=FlagsInfo)
+
+    def solver_config(self):
+        from tiger_tpu.solver.config import SolverConfig
+
+        return SolverConfig(
+            rtol=self.solver.rtol,
+            atol=self.solver.atol,
+            safety=self.solver.safety,
+            min_scale=self.solver.min_scale,
+            max_scale=self.solver.max_scale,
+            initial_step=self.solver.initial_step,
+        )
+
+
+def load_config(path: str) -> SimulationConfig:
+    """Parse the YAML file into a SimulationConfig (config_loader.cpp:19-84)."""
+    with open(path) as f:
+        doc = yaml.safe_load(f) or {}
+    cfg = SimulationConfig()
+
+    if m := doc.get("model"):
+        cfg.model = ModelInfo(uid=int(m.get("uid", 204)), name=str(m.get("name", "")))
+    if t := doc.get("time"):
+        cfg.time = TimeInfo(
+            start=_parse_iso8601(str(t["start"])), end=_parse_iso8601(str(t["end"]))
+        )
+    if i := doc.get("initial"):
+        cfg.initial = InitialInfo(
+            mode=str(i.get("mode", "cold")),
+            file=str(i.get("file", "")) if i.get("mode") == "hot" else "",
+            cold_state=list(i["cold_state"]) if i.get("cold_state") else None,
+        )
+        if cfg.initial.mode not in ("cold", "hot"):
+            raise ValueError(f"initial.mode must be cold|hot, got {cfg.initial.mode}")
+    if lp := doc.get("local_params"):
+        cfg.params_file = str(lp.get("file", ""))
+    if f := doc.get("forcings"):
+        fv = f.get("vars") or {}
+        cfg.forcings = ForcingInfo(
+            type=str(f.get("type", "folder_nc")),
+            path=str(f.get("path", "")),
+            lookup=str(f.get("lookup", "")),
+            vars=ForcingVarInfo(
+                precipitation=str(fv.get("precipitation", "pr")),
+                temperature=str(fv.get("temperature", "t2m")),
+            ),
+            files=list(f.get("files", [])),
+        )
+    if o := doc.get("output"):
+        cfg.output = OutputInfo(
+            print_interval=str(o.get("print_interval", "1h")),
+            states=list(o["states"]) if o.get("states") else None,
+            path=str(o.get("path", ".")),
+            prefix=str(o.get("prefix", "example")),
+            compression_level=int(o.get("compression_level", 0)),
+            format=str(o.get("format", "netcdf")),
+        )
+        parse_interval_minutes(cfg.output.print_interval)  # validate
+    if s := doc.get("solver"):
+        tol = s.get("tolerances") or {}
+        cfg.solver = SolverInfo(
+            method=str(s.get("method", "RK45")),
+            rtol=float(tol.get("rtol", 1e-6)),
+            atol=float(tol.get("atol", 1e-9)),
+            safety=float(tol.get("safety", 0.9)),
+            min_scale=float(tol.get("min_scale", 0.2)),
+            max_scale=float(tol.get("max_scale", 10.0)),
+            initial_step=(None if s.get("initial_step") is None else float(s["initial_step"])),
+        )
+    if p := doc.get("mpi") or doc.get("parallel"):
+        cfg.parallel = ParallelInfo(
+            step_storage=int(p.get("step_storage", 30)),
+            transfer_buffer=int(p.get("transfer_buffer", 10)),
+            discontinuity_buf=int(p.get("discontinuity_buf", 0)),
+        )
+    if fl := doc.get("flags"):
+        cfg.flags = FlagsInfo(
+            uses_dam=bool(fl.get("uses_dam", False)),
+            convert_area=bool(fl.get("convert_area", False)),
+        )
+    return cfg

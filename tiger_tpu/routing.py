@@ -1,0 +1,227 @@
+"""Downstream routing: river-network accumulation of link runoff.
+
+The reference carries the routing topology (``next_stream`` in SpatialParams,
+``Stream::next_id`` — src/stream.hpp:31, parameters_loader.hpp:21) but never
+uses it: "routing is future work" (SURVEY.md 2.1).  BASELINE.json's north star
+asks for exactly this: a downstream-routing exchange across shards.  This
+module implements it TPU-natively:
+
+  - ``build_topology``: stream/next_stream ids -> dense downstream index array
+    (outlets and links draining outside the basin get -1) + network depth;
+  - ``link_runoff_204``: instantaneous outflow volume rate per link from the
+    Model-204 stores (surface Manning outflow + interflow + baseflow), the
+    quantity being routed;
+  - ``accumulate_downstream``: single-device accumulation
+    acc = (I - S)^-1 q for the (nilpotent) downstream scatter matrix S,
+    computed by fixpoint iteration acc <- q + S acc, which is exact after
+    ``depth`` rounds — each round is one vectorized scatter-add, ideal for
+    the VPU (no serial graph walk);
+  - ``accumulate_downstream_sharded``: the multi-chip version under
+    ``shard_map``: local edges scatter in-shard; cross-shard contributions are
+    packed into fixed-size per-shard outboxes and delivered with a ring of
+    ``jax.lax.ppermute`` steps each round, so the exchange rides ICI and can
+    overlap with step compute in the fused pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+class Topology(NamedTuple):
+    next_idx: np.ndarray  # [S] int32; downstream link's row, -1 if none in basin
+    depth: int  # longest path length (rounds needed for exact accumulation)
+
+
+def build_topology(stream_ids: np.ndarray, next_stream_ids: np.ndarray) -> Topology:
+    """Resolve next_stream ids to row indices; compute network depth (host)."""
+    stream_ids = np.asarray(stream_ids, np.int64)
+    next_ids = np.asarray(next_stream_ids, np.int64)
+    order = np.argsort(stream_ids, kind="stable")
+    sorted_ids = stream_ids[order]
+    pos = np.searchsorted(sorted_ids, next_ids)
+    pos_clip = np.clip(pos, 0, len(sorted_ids) - 1)
+    found = sorted_ids[pos_clip] == next_ids
+    next_idx = np.where(found, order[pos_clip], -1).astype(np.int32)
+
+    # Path length to termination via pointer doubling (host, O(S log depth)):
+    # cnt[i] = hops accumulated along ptr; after round k, ptr is the 2^k-th
+    # successor (or -1 once the path end is absorbed).
+    ptr = next_idx.astype(np.int64)
+    cnt = (ptr >= 0).astype(np.int64)
+    rounds = 0
+    while (ptr >= 0).any():
+        idx = np.clip(ptr, 0, None)
+        cnt = cnt + np.where(ptr >= 0, cnt[idx], 0)
+        ptr = np.where(ptr >= 0, ptr[idx], -1)
+        rounds += 1
+        if rounds > int(np.log2(len(next_idx) + 1)) + 2:
+            raise ValueError("Routing topology contains a cycle")
+    return Topology(next_idx=next_idx, depth=int(cnt.max()))
+
+
+def link_runoff_204(y: jax.Array, params) -> jax.Array:
+    """Instantaneous local outflow per link [m * km^2 / min] from Model-204 stores.
+
+    surface Manning outflow h_surf*w (model_204.hpp:99-103) + interflow
+    h_grav/alpha3 + baseflow h_aq/alpha4, scaled by hillslope area A_h.
+    ``y`` is [S, N]; params the SoA dict.
+    """
+    h_surf, h_grav, h_aq = y[:, 2], y[:, 3], y[:, 4]
+    alfa2 = (1.0 / params["n_mann"]) * jnp.power(h_surf, 2.0 / 3.0) * jnp.sqrt(
+        params["slope"]
+    )
+    w = jnp.minimum(1.0, alfa2 * params["L"] / params["A_h"] * 60.0)
+    qs = h_surf * w
+    qi = jnp.where(params["alpha3"] >= 1.0, h_grav / params["alpha3"], 0.0)
+    qb = jnp.where(params["alpha4"] >= 1.0, h_aq / params["alpha4"], 0.0)
+    return (qs + qi + qb) * params["A_h"]
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def accumulate_downstream(q: jax.Array, next_idx: jax.Array, n_iters: int) -> jax.Array:
+    """acc[v] = q[v] + sum of q over all links upstream of v (single device).
+
+    ``n_iters`` must be >= topology depth for exactness (Topology.depth).
+    """
+    valid = next_idx >= 0
+    tgt = jnp.where(valid, next_idx, 0)
+
+    def body(_, acc):
+        contrib = jnp.where(valid, acc, 0.0)
+        gathered = jnp.zeros_like(q).at[tgt].add(contrib, mode="drop")
+        return q + gathered
+
+    return jax.lax.fori_loop(0, n_iters, body, q)
+
+
+class ShardedTopology(NamedTuple):
+    """Per-shard static routing plan (host-precomputed, stacked over shards).
+
+    Local edges scatter within the shard; remote edges are packed into a
+    fixed-width outbox (padded with -1 targets) and ring-delivered.
+    """
+
+    local_tgt: np.ndarray  # [D, B] int32: in-shard target row or -1
+    outbox_src: np.ndarray  # [D, M] int32: local row feeding outbox slot, -1 pad
+    outbox_shard: np.ndarray  # [D, M] int32: destination shard, -1 pad
+    outbox_row: np.ndarray  # [D, M] int32: destination row within shard, -1 pad
+    n_shards: int
+    block: int
+    depth: int
+
+
+def plan_sharded_topology(topo: Topology, n_shards: int) -> ShardedTopology:
+    """Split a Topology over ``n_shards`` contiguous row blocks (host)."""
+    s_total = len(topo.next_idx)
+    block = -(-s_total // n_shards)  # ceil; callers pad the batch to D*B
+    next_idx = topo.next_idx
+    rows = np.arange(s_total)
+    src_shard = rows // block
+    tgt_shard = np.where(next_idx >= 0, next_idx // block, -1)
+    tgt_row = np.where(next_idx >= 0, next_idx % block, -1)
+
+    local_tgt = np.full((n_shards, block), -1, np.int32)
+    out_src, out_shard, out_row = [], [], []
+    for d in range(n_shards):
+        mine = src_shard == d
+        local = mine & (tgt_shard == d)
+        local_tgt[d, rows[local] % block] = tgt_row[local]
+        remote = mine & (tgt_shard >= 0) & (tgt_shard != d)
+        out_src.append(rows[remote] % block)
+        out_shard.append(tgt_shard[remote])
+        out_row.append(tgt_row[remote])
+    m = max(1, max(len(x) for x in out_src))
+    pad = lambda xs: np.stack(
+        [np.pad(x, (0, m - len(x)), constant_values=-1).astype(np.int32) for x in xs]
+    )
+    return ShardedTopology(
+        local_tgt=local_tgt,
+        outbox_src=pad(out_src),
+        outbox_shard=pad(out_shard),
+        outbox_row=pad(out_row),
+        n_shards=n_shards,
+        block=block,
+        depth=topo.depth,
+    )
+
+
+def accumulate_downstream_sharded(
+    q: jax.Array, plan: ShardedTopology, mesh: Mesh, n_iters: Optional[int] = None
+) -> jax.Array:
+    """Multi-chip downstream accumulation: shard_map + ring ppermute delivery.
+
+    ``q`` is the global [S_padded] runoff vector (S_padded = n_shards*block).
+    Each fixpoint round does the in-shard scatter, then circulates the remote
+    outboxes one full ring so every cross-shard contribution lands this round
+    (the exchange is exactly the reference's missing MPI neighbor transfer,
+    built from XLA collectives instead).
+    """
+    if n_iters is None:
+        n_iters = plan.depth
+    axis = mesh.axis_names[0]
+    n = plan.n_shards
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    lt = jnp.asarray(plan.local_tgt)
+    ob_src = jnp.asarray(plan.outbox_src)
+    ob_shard = jnp.asarray(plan.outbox_shard)
+    ob_row = jnp.asarray(plan.outbox_row)
+
+    def shard_body(q_blk, lt_blk, src_blk, shard_blk, row_blk):
+        q_blk, lt_blk = q_blk[0], lt_blk[0]
+        src, dst_shard, dst_row = src_blk[0], shard_blk[0], row_blk[0]
+        me = jax.lax.axis_index(axis)
+
+        def round_body(_, acc):
+            # In-shard scatter
+            valid_l = lt_blk >= 0
+            add_local = jnp.zeros_like(acc).at[jnp.where(valid_l, lt_blk, 0)].add(
+                jnp.where(valid_l, acc, 0.0), mode="drop"
+            )
+            new_acc = q_blk + add_local
+            # Pack outbox: contribution of src rows (current acc values).
+            # Destination (shard, row) travels with the slot as one packed
+            # integer payload so two ppermutes move value + address together.
+            valid_o = src >= 0
+            vals = jnp.where(valid_o, acc[jnp.where(valid_o, src, 0)], 0.0)
+            packed = jnp.where(
+                valid_o, dst_shard * plan.block + dst_row, -1
+            )
+
+            # Ring-circulate (n-1 hops): deliver slots addressed to me.
+            def hop(carry, _):
+                new_acc, vals, packed = carry
+                vals = jax.lax.ppermute(vals, axis, perm)
+                packed = jax.lax.ppermute(packed, axis, perm)
+                deliver = (packed >= 0) & ((packed // plan.block) == me)
+                rowt = jnp.where(deliver, packed % plan.block, 0)
+                new_acc = new_acc.at[rowt].add(jnp.where(deliver, vals, 0.0), mode="drop")
+                vals = jnp.where(deliver, 0.0, vals)
+                packed = jnp.where(deliver, -1, packed)
+                return (new_acc, vals, packed), None
+
+            (new_acc, _, _), _ = jax.lax.scan(
+                hop, (new_acc, vals, packed), None, length=n - 1
+            )
+            return new_acc
+
+        acc = jax.lax.fori_loop(0, n_iters, round_body, q_blk)
+        return acc[None]
+
+    fn = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    q2 = q.reshape(n, plan.block)
+    out = fn(q2, lt, ob_src, ob_shard, ob_row)
+    return out.reshape(-1)

@@ -263,8 +263,9 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("model", "t0", "tf", "meta", "config"))
-def _rk45_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
+def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
+    """Traceable (un-jitted) batched solve — composes under shard_map/pjit."""
+
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
             return model.rhs(t, y, p_row, f_vals)
@@ -276,6 +277,11 @@ def _rk45_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config)
 
     in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
     return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+
+
+_rk45_solve_impl = functools.partial(
+    jax.jit, static_argnames=("model", "t0", "tf", "meta", "config")
+)(rk45_solve_traced)
 
 
 def rk45_solve(
