@@ -1,0 +1,112 @@
+"""Benchmark: hillslope-systems x RK-steps per second on one chip.
+
+Runs the flagship Model-204 scenario (synthetic ERA5-shaped forcings, 2-day
+integration, hourly dense queries — the reference's artifact configuration,
+main.cpp:610-657) over a large batch and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the ratio
+to the previous recorded run of THIS benchmark (bench_baseline.json, updated
+by --record) — i.e., progress across rounds; 1.0 when no record exists.
+
+Runs on whatever backend the environment selects (the driver provides the real
+TPU).  float32 with rtol 1e-5 / atol 1e-8: the TPU performance path (f64 is
+software-emulated on TPU; f64 parity is covered by the CPU test suite).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--systems", type=int, default=131_072)
+    p.add_argument("--days", type=float, default=2.0)
+    p.add_argument("--record", action="store_true", help="update bench_baseline.json")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _scenario
+    from tiger_tpu.models import Model204
+    from tiger_tpu.solver.config import SolverConfig
+    from tiger_tpu.solver.rk45 import rk45_solve
+
+    dtype = jnp.float32
+    s_count = args.systems
+    tf = args.days * 1440.0
+    model = Model204()
+    config = SolverConfig(rtol=1e-5, atol=1e-8, max_steps=100_000)
+    y0, params, forcings = _scenario(s_count, dtype)
+    qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=dtype)
+    h0 = jnp.full((s_count,), 1e-3, dtype)
+
+    def solve_once():
+        res = rk45_solve(
+            model, y0, 0.0, tf, qt, params, forcings, h0=h0, config=config
+        )
+        jax.block_until_ready(res.y_final)
+        return res
+
+    # Warmup (compile) + timed run.
+    res = solve_once()
+    t0 = time.perf_counter()
+    res = solve_once()
+    wall = time.perf_counter() - t0
+
+    n_attempts = int(np.asarray(res.stats.n_attempts).sum())
+    value = n_attempts / wall
+    n_stiff = int(np.asarray(res.stiff).sum())
+
+    baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
+    baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f).get("value")
+    vs = (value / baseline) if baseline else 1.0
+
+    if args.record:
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "value": value,
+                    "unit": "system-steps/s",
+                    "systems": s_count,
+                    "wall_s": wall,
+                    "backend": jax.devices()[0].platform,
+                },
+                f,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "model204_system_steps_per_s",
+                "value": value,
+                "unit": "system-steps/s",
+                "vs_baseline": vs,
+                "systems": s_count,
+                "steps_total": n_attempts,
+                "wall_s": wall,
+                "n_stiff": n_stiff,
+                "backend": jax.devices()[0].platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -93,6 +93,10 @@ class SolverInfo:
     min_scale: float = 0.2
     max_scale: float = 10.0
     initial_step: Optional[float] = None
+    # 'f64' matches the reference (double everywhere); 'f32' is the TPU
+    # performance path (pair it with rtol >= ~1e-5: tolerances below f32
+    # rounding make every step reject).
+    precision: str = "f64"
 
 
 @dataclasses.dataclass
@@ -188,7 +192,10 @@ def load_config(path: str) -> SimulationConfig:
             min_scale=float(tol.get("min_scale", 0.2)),
             max_scale=float(tol.get("max_scale", 10.0)),
             initial_step=(None if s.get("initial_step") is None else float(s["initial_step"])),
+            precision=str(s.get("precision", "f64")),
         )
+        if cfg.solver.precision not in ("f64", "f32"):
+            raise ValueError(f"solver.precision must be f64|f32, got {cfg.solver.precision}")
     if p := doc.get("mpi") or doc.get("parallel"):
         cfg.parallel = ParallelInfo(
             step_storage=int(p.get("step_storage", 30)),

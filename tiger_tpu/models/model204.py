@@ -54,6 +54,15 @@ class Model204:
     N_EQ: int = 5
     UID: int = 204
 
+    # The Manning term h_surface**(2/3) is NaN for the (unphysical) negative
+    # surface depths that transiently appear inside RK stage evaluations;
+    # CUDA pow does the same, and in the reference such steps reject with an
+    # unchanged h until the system is (spuriously) flagged stiff.  Default:
+    # clamp the base at 0 (physically exact — Manning outflow is zero at zero
+    # depth), which removes the NaNs entirely.  Set safe_pow=False for
+    # bit-level behavioral parity with the reference.
+    safe_pow: bool = True
+
     def rhs(self, t, y, params, forcings=None) -> jax.Array:
         P = params
         h_snow, h_stat, h_surf, h_grav, h_aq = y[0], y[1], y[2], y[3], y[4]
@@ -86,7 +95,8 @@ class Model204:
         # 3) Surface store (Manning)
         x3 = jnp.minimum(x2, P["infil"])
         d2 = x2 - x3
-        alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_surf, 2.0 / 3.0) * jnp.sqrt(P["slope"])
+        h_pow = jnp.maximum(h_surf, 0.0) if self.safe_pow else h_surf
+        alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
         w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
         dy2 = d2 - h_surf * w
 

@@ -1,0 +1,213 @@
+"""CLI driver: config -> load -> shard -> solve -> write.
+
+Replaces the reference's hard-coded main.cpp (src/main.cpp:255-828): every
+path, time span, y0, tolerance and output location the reference bakes in is
+driven by the YAML config (tiger_tpu.config implements the schema the
+reference specified in data/config.yaml but never wired up).
+
+Multi-process layout: instead of MPI rank 0 scattering SpatialParams blobs
+(main.cpp:257-310), every process slices its own contiguous row range of the
+parameter table and writes per-process output shards — the same per-rank file
+convention as the reference (main.cpp:796-797).  Launch one process per host
+with jax.distributed (use --distributed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+#: Cold-start defaults per model uid (reference main.cpp:377 for 204).
+COLD_STATE_DEFAULTS = {
+    204: (0.01, 3.0, 0.0, 5.0, 0.2),
+    1: (1.0, 1.0, 1.0, 1.0, 1.0),
+}
+
+
+def run(cfg, devices=None, metrics=None, use_mesh: bool = True) -> dict:
+    """Execute one simulation described by a SimulationConfig; returns summary."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiger_tpu import checkpoint as ckpt
+    from tiger_tpu import params as params_mod
+    from tiger_tpu.config import parse_interval_minutes
+    from tiger_tpu.dist import shard_rows_for_process, systems_mesh
+    from tiger_tpu.forcing import ForcingSpec, load_forcings
+    from tiger_tpu.io import (
+        write_dense_csv,
+        write_dense_netcdf,
+        write_final_csv,
+        write_final_netcdf,
+    )
+    from tiger_tpu.models import get_model
+    from tiger_tpu.profiling import Metrics
+    from tiger_tpu.solver import solve
+
+    if cfg.solver.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if cfg.solver.precision == "f64" else jnp.float32
+
+    metrics = metrics or Metrics()
+    model = get_model(cfg.model.uid)
+
+    # ---- load & shard spatial parameters -------------------------------
+    with metrics.phase("load_params"):
+        sp = params_mod.load_spatial_params(cfg.params_file)
+        rows = shard_rows_for_process(params_mod.num_systems(sp))
+        sp = params_mod.slice_rows(sp, rows)
+        n_sys = params_mod.num_systems(sp)
+        link_ids = sp["stream"]
+        model_params = {
+            k: jnp.asarray(v, dtype) for k, v in params_mod.model_params(sp).items()
+        }
+
+    # ---- time span / queries -------------------------------------------
+    t0, tf = 0.0, cfg.time.duration_minutes
+    interval = parse_interval_minutes(cfg.output.print_interval)
+    query_times = np.arange(t0, tf + 1e-9, interval)
+
+    # ---- forcings -------------------------------------------------------
+    forcings = None
+    if cfg.forcings.files:
+        with metrics.phase("load_forcings"):
+            specs = [
+                ForcingSpec(
+                    path=os.path.join(cfg.forcings.path, f["file"])
+                    if not os.path.isabs(f["file"])
+                    else f["file"],
+                    var=f["var"],
+                    dt_hours=float(f["dt_hours"]),
+                )
+                for f in cfg.forcings.files
+            ]
+            forcings = load_forcings(
+                specs,
+                link_ids,
+                cfg.forcings.lookup,
+                duration_days=tf / 1440.0,
+            )
+
+    # ---- initial conditions --------------------------------------------
+    with metrics.phase("init_state"):
+        if cfg.initial.mode == "hot":
+            y0, _, t_ckpt = ckpt.load_state(cfg.initial.file, link_ids)
+            if y0.shape[1] != model.N_EQ:
+                raise ValueError(
+                    f"Hot-start state has {y0.shape[1]} vars, model needs {model.N_EQ}"
+                )
+        else:
+            cold = cfg.initial.cold_state or COLD_STATE_DEFAULTS.get(
+                cfg.model.uid, (0.0,) * model.N_EQ
+            )
+            y0 = ckpt.cold_state(cold, n_sys)
+        y0 = jnp.asarray(y0, dtype)
+
+    # ---- solve ----------------------------------------------------------
+    mesh = None
+    if use_mesh:
+        devs = devices or jax.devices()
+        if len(devs) > 1:
+            mesh = systems_mesh(devs)
+    t_solve = time.perf_counter()
+    with metrics.phase("solve"):
+        res = solve(
+            model,
+            y0,
+            t0,
+            tf,
+            jnp.asarray(query_times),
+            params=model_params,
+            forcings=forcings,
+            config=cfg.solver_config(),
+            mesh=mesh,
+        )
+        jax.block_until_ready(res.y_final)
+    metrics.record_solve(res, time.perf_counter() - t_solve)
+
+    # ---- select output states ------------------------------------------
+    y_final = np.asarray(res.y_final)
+    dense = np.asarray(res.dense)
+    state_ids = np.arange(model.N_EQ, dtype=np.int32)
+    if cfg.output.states is not None:
+        state_ids = np.asarray(cfg.output.states, np.int32)
+        y_final = y_final[:, state_ids]
+        dense = dense[:, :, state_ids]
+
+    # ---- write outputs (per-process shards, like per-rank files) -------
+    proc = jax.process_index()
+    prefix = cfg.output.prefix
+    outdir = cfg.output.path
+    os.makedirs(outdir, exist_ok=True)
+    with metrics.phase("write_output"):
+        if cfg.output.format == "csv":
+            final_path = os.path.join(outdir, f"final_{prefix}_rank_{proc}.csv")
+            dense_path = os.path.join(outdir, f"dense_{prefix}_rank_{proc}.csv")
+            write_final_csv(final_path, y_final)
+            write_dense_csv(dense_path, dense, query_times)
+        else:
+            final_path = os.path.join(outdir, f"final_{prefix}_rank_{proc}.nc")
+            dense_path = os.path.join(outdir, f"dense_{prefix}_rank_{proc}.nc")
+            write_final_netcdf(
+                final_path, y_final, link_ids, state_ids, cfg.output.compression_level
+            )
+            write_dense_netcdf(
+                dense_path, dense, query_times, link_ids, state_ids,
+                cfg.output.compression_level,
+            )
+        # Checkpoint for hot restart of the NEXT run.
+        state_path = os.path.join(outdir, f"state_{prefix}_rank_{proc}.nc")
+        ckpt.save_state(state_path, np.asarray(res.y_final), link_ids, tf)
+
+    return {
+        "num_systems": n_sys,
+        "n_stiff": res.n_stiff,
+        "n_failed": int(np.asarray(res.failed).sum()),
+        "final_path": final_path,
+        "dense_path": dense_path,
+        "state_path": state_path,
+        **metrics.summary(),
+    }
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="tiger-tpu", description="TPU-native Tiger-HLM hydrologic engine"
+    )
+    p.add_argument("--config", required=True, help="YAML simulation config")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--distributed", action="store_true", help="jax.distributed.initialize()"
+    )
+    p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
+
+    from tiger_tpu.config import load_config
+    from tiger_tpu.profiling import Metrics, trace
+
+    cfg = load_config(args.config)
+    metrics = Metrics()
+    with trace(args.profile_dir):
+        summary = run(cfg, metrics=metrics)
+    import json
+
+    print(json.dumps(summary, sort_keys=True, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,15 +51,26 @@ def solve(
     params=None,
     forcings: Optional[ForcingSet] = None,
     config: SolverConfig = SolverConfig(),
+    mesh=None,
 ) -> SolveResult:
     """Integrate ``y0[S, N]`` from t0 to tf with dense output at query_times.
 
     Mirrors the reference's clean entry ``run_rk45<Model>``
     (src/solver/rk45_api.hpp:273-313) including the stiff second pass.
+    With ``mesh`` (a 1-D jax.sharding.Mesh) the RK45 phase is domain-
+    decomposed over devices via shard_map; the (small) Radau stiff subset
+    always runs single-device after host compaction.
     """
     y0 = jnp.asarray(y0)
     h0 = initial_step(model, y0, t0, params, forcings, config)
-    rk = rk45_solve(model, y0, t0, tf, query_times, params, forcings, h0, config)
+    if mesh is not None:
+        from tiger_tpu.dist import rk45_solve_sharded
+
+        rk = rk45_solve_sharded(
+            model, y0, t0, tf, query_times, params, forcings, h0, config, mesh
+        )
+    else:
+        rk = rk45_solve(model, y0, t0, tf, query_times, params, forcings, h0, config)
 
     stiff_mask = np.asarray(rk.stiff)
     n_stiff = int(stiff_mask.sum())

@@ -34,6 +34,19 @@ class SolverConfig:
     min_step_fraction: float = 1e-6
     max_rejects: int = 5  # stiff when reject_count > max_rejects
 
+    # Step-shrink factor applied when the error norm is NaN (a stage produced
+    # NaN/Inf).  CUDA's fmin(NaN, 1.0) == 1.0 leaves h unchanged in the
+    # reference, so NaN steps re-reject at the same h until the stiffness
+    # counter trips; 1.0 reproduces that.  The default shrinks like an
+    # ordinary worst-case rejection so the solver steps *past* transient NaN
+    # regions (SciPy behaves this way), which eliminates spurious stiff flags.
+    nan_shrink: float = 0.2
+
+    # Radau consecutive-rejection cap: the reference kernel has NO escape
+    # hatch (radau_kernel.cu:44-137 loops forever if steps keep rejecting);
+    # we bail out and mark the system failed instead.
+    radau_max_rejects: int = 60
+
     # Radau Newton iteration (radau_step_dense.cuh:90-141)
     newton_max_iter: int = 10
     newton_tol: float = 1e-8

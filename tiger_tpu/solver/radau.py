@@ -128,6 +128,7 @@ class _Carry(NamedTuple):
     h: jax.Array
     y: jax.Array
     next_q: jax.Array
+    reject: jax.Array  # consecutive rejections (bail-out; no reference analog)
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
@@ -152,6 +153,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         h=jnp.asarray(h0, dtype),
         y=y0,
         next_q=jnp.zeros((), i32),
+        reject=jnp.zeros((), i32),
         n_acc=jnp.zeros((), i32),
         n_rej=jnp.zeros((), i32),
         n_att=jnp.zeros((), i32),
@@ -159,7 +161,11 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
     )
 
     def cond(c: _Carry):
-        return (c.t < tf) & (c.n_att < cfg.max_steps)
+        return (
+            (c.t < tf)
+            & (c.n_att < cfg.max_steps)
+            & (c.reject <= cfg.radau_max_rejects)
+        )
 
     def body(c: _Carry):
         h_eff = jnp.where(c.t + c.h > tf, tf - c.t, c.h)
@@ -185,7 +191,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
         raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
         fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
-        fac_rej = jnp.where(jnp.isnan(raw_fac), 1.0, jnp.minimum(raw_fac, 1.0))
+        fac_rej = jnp.where(jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0))
         fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
         h_new = h_eff * jnp.where(accept, fac_acc, fac_rej)
 
@@ -194,6 +200,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             h=h_new,
             y=jnp.where(accept, y_next, c.y),
             next_q=next_q,
+            reject=jnp.where(accept, 0, c.reject + 1),
             n_acc=c.n_acc + accept.astype(i32),
             n_rej=c.n_rej + (~accept).astype(i32),
             n_att=c.n_att + 1,

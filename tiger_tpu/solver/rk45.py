@@ -215,8 +215,9 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 
         raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
         fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
-        # CUDA fmin(NaN, 1.0) returns 1.0; jnp.minimum propagates NaN — match CUDA.
-        fac_rej = jnp.where(jnp.isnan(raw_fac), 1.0, jnp.minimum(raw_fac, 1.0))
+        # NaN error: cfg.nan_shrink (1.0 == CUDA parity: fmin(NaN,1) is 1.0
+        # so the reference retries at the SAME h; default shrinks instead).
+        fac_rej = jnp.where(jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0))
         fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
 
         h_adv = h_eff * fac_acc
