@@ -155,6 +155,11 @@ def remap_grid_to_systems(grid_chunk: np.ndarray, flat_index: np.ndarray) -> np.
     Replaces the reference's scalar host loop (main.cpp:543-549) with one fancy
     index per chunk.
     """
-    t_dim = grid_chunk.shape[0]
-    flat = grid_chunk.reshape(t_dim, -1)
-    return np.ascontiguousarray(flat[:, flat_index])
+    try:
+        from tiger_tpu.native import remap_gather
+
+        return remap_gather(np.asarray(grid_chunk, np.float32), flat_index)
+    except ImportError:
+        t_dim = grid_chunk.shape[0]
+        flat = grid_chunk.reshape(t_dim, -1)
+        return np.ascontiguousarray(flat[:, flat_index])
