@@ -10,10 +10,12 @@ from __future__ import annotations
 
 from tiger_tpu.models.base import Model
 from tiger_tpu.models.dummy import DummyModel
+from tiger_tpu.models.model200 import Model200
 from tiger_tpu.models.model204 import Model204, PARAM_FIELDS, Y0_COMMON
 
 _REGISTRY = {
     DummyModel.UID: DummyModel,
+    Model200.UID: Model200,
     Model204.UID: Model204,
 }
 
@@ -34,6 +36,7 @@ def get_model(uid: int) -> Model:
 __all__ = [
     "Model",
     "DummyModel",
+    "Model200",
     "Model204",
     "PARAM_FIELDS",
     "Y0_COMMON",
