@@ -31,6 +31,12 @@ def main() -> None:
     p.add_argument("--days", type=float, default=2.0)
     p.add_argument("--record", action="store_true", help="update bench_baseline.json")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--backend",
+        default="pallas",
+        choices=["pallas", "xla"],
+        help="pallas = fused kernel (default); xla = vmap reference path",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -44,6 +50,9 @@ def main() -> None:
     from tiger_tpu.models import Model204
     from tiger_tpu.solver.config import SolverConfig
     from tiger_tpu.solver.rk45 import rk45_solve
+    from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
+
+    solver_fn = rk45_solve_pallas if args.backend == "pallas" and not args.cpu else rk45_solve
 
     dtype = jnp.float32
     s_count = args.systems
@@ -54,18 +63,26 @@ def main() -> None:
     qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=dtype)
     h0 = jnp.full((s_count,), 1e-3, dtype)
 
-    def solve_once():
-        res = rk45_solve(
-            model, y0, 0.0, tf, qt, params, forcings, h0=h0, config=config
+    def solve_once(eps: float):
+        # Perturb the input per call: defeats any end-to-end result caching in
+        # the execution pipeline, so each timed call is real device work.
+        res = solver_fn(
+            model, y0 + eps, 0.0, tf, qt, params, forcings, h0=h0, config=config
         )
-        jax.block_until_ready(res.y_final)
-        return res
+        # Materialize a value derived from the full output.
+        checksum = float(jnp.nansum(res.y_final))
+        return res, checksum
 
-    # Warmup (compile) + timed run.
-    res = solve_once()
-    t0 = time.perf_counter()
-    res = solve_once()
-    wall = time.perf_counter() - t0
+    res, _ = solve_once(0.0)  # compile + warmup
+    walls, sums = [], []
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        res, s = solve_once(i * 1e-7)
+        walls.append(time.perf_counter() - t0)
+        sums.append(s)
+    wall = float(np.median(walls))
+    if len(set(sums)) == 1:
+        print('{"warning": "identical checksums across perturbed runs"}')
 
     n_attempts = int(np.asarray(res.stats.n_attempts).sum())
     value = n_attempts / wall
@@ -103,6 +120,7 @@ def main() -> None:
                 "wall_s": wall,
                 "n_stiff": n_stiff,
                 "backend": jax.devices()[0].platform,
+                "solver": "pallas" if solver_fn is rk45_solve_pallas else "xla-vmap",
             }
         )
     )

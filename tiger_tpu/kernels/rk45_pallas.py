@@ -1,0 +1,400 @@
+"""Pallas TPU kernel: fused batched adaptive RK45 integration.
+
+One `pallas_call` runs the ENTIRE t0->tf adaptive integration for a tile of
+systems with all state resident in VMEM:
+
+  - tile = (8 sublanes x 128 lanes) = 1024 systems (f32 native tiling);
+  - the adaptive loop is a `lax.while_loop` whose carry (t, h, y, stage
+    slopes, dense buffer, per-lane counters) never round-trips HBM — the
+    XLA/vmap path re-reads and re-writes its loop carry from HBM every
+    attempted step, which is the dominant cost at large batch;
+  - each grid step (tile) terminates as soon as ITS lanes are done, so one
+    pathological system only stalls its own 1024-lane tile instead of the
+    whole batch (the vmap path iterates everyone until the global laggard
+    finishes);
+  - forcing zero-order-hold gather is an in-VMEM masked select over the
+    (static) per-forcing time steps; dense output fills only the query rows
+    inside the tile's live window [q_lo, q_hi), maintained from per-tile
+    min(t) / max(t+h) — queries the whole tile has passed are never touched
+    again.
+
+Numerics are IDENTICAL to tiger_tpu.solver.rk45 (same tableau module, same
+controller/flag logic); `test_pallas_kernel.py` asserts step-for-step
+agreement with the vmap path.  The kernel is float32 (the TPU performance
+path); float64 parity runs use the vmap path.
+
+Reference analog: rk45_then_radau_multi (src/solver/rk45_kernel.cu:17-176) —
+one CUDA thread per system becomes one VPU lane per system, with the tile
+playing the role of a threadblock whose "divergence" is masked-lane compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiger_tpu.forcing import ForcingSet, ForcingMeta
+from tiger_tpu.solver import tableau
+from tiger_tpu.solver.config import SolverConfig
+from tiger_tpu.solver.rk45 import RK45Result, RKStats
+
+TILE_ROWS = 8  # sublanes per tile; tile systems = TILE_ROWS * 128
+LANES = 128
+TILE = TILE_ROWS * LANES
+
+
+class _Carry(NamedTuple):
+    alive: jax.Array  # scalar i32: any lane still active (while-cond operand;
+    #                   Mosaic rejects vector reductions inside the cond)
+    t: jax.Array  # (R, 128)
+    h: jax.Array
+    y: tuple  # N_EQ arrays of (R, 128) — kept 2-D; Mosaic dislikes 3-D vectors
+    reject: jax.Array  # (R, 128) int32
+    stiff: jax.Array  # (R, 128) int32 (0/1: Mosaic rejects i1 vector carries)
+    n_acc: jax.Array
+    n_rej: jax.Array
+    n_att: jax.Array
+
+
+def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype):
+    """ZOH gather for every lane: tuple of (R, 128) forcing values at time t."""
+    vals = []
+    for off, n_t, dt in zip(meta.offsets, meta.n_steps, meta.dt_min):
+        idx = jnp.clip((t / dt).astype(jnp.int32), 0, n_t - 1)
+
+        def body(k, acc):
+            row = forc_ref[off + k]  # (R, 128) float32
+            return jnp.where(idx == k, row.astype(dtype), acc)
+
+        vals.append(lax.fori_loop(0, n_t, body, jnp.zeros_like(t)))
+    return tuple(vals)
+
+
+def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
+    span = tf - t0
+
+    dp_a, dp_c = tableau.DP_A, tableau.DP_C
+    dp_b = tableau.DP_B
+    dp_e = tableau.DP_E
+    dp_p = tableau.DP_P
+
+    def kernel(qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
+               yf_ref, dense_ref, stiff_ref, stats_ref):
+        dtype = y0_ref.dtype
+        y0 = tuple(y0_ref[i] for i in range(n_eq))  # N x (R, 128)
+        qt2 = qt_ref[...] if q_total > 0 else None  # (1, Qp) value, reductions
+        r = y0[0].shape[0]
+        shp = (r, LANES)
+        i32 = jnp.int32
+
+        def rhs(t, y, f_vals):
+            p = {name: params_ref[i] for i, name in enumerate(param_fields)}
+            # model.rhs_tuple consumes indexables of (R,128) blocks: every
+            # "scalar" in the physics is a lane vector and vectorizes on the
+            # VPU without any stacking.
+            return model.rhs_tuple(t, y, p, f_vals)
+
+        # Dense buffer lives in the OUTPUT ref (VMEM): the fill loop needs
+        # dynamically-indexed row reads/writes, which Mosaic supports on refs
+        # but not on loop-carry values.  Rows with qt <= t0 prefill with y0
+        # (fill_t0_queries); everything else zeros.  Row-at-a-time 2-D writes.
+        if q_total > 0 and cfg.fill_t0_queries:
+            n_pre = jnp.sum((qt2 <= t0).astype(i32))
+        else:
+            n_pre = jnp.zeros((), i32)
+        zero2d = jnp.zeros(shp, dtype)
+
+        def init_row(qi, _):
+            pre = qi < n_pre
+            for ci in range(n_eq):
+                dense_ref[qi, ci] = jnp.where(pre, y0[ci], zero2d)
+            return 0
+
+        lax.fori_loop(0, max(q_total, 1), init_row, 0)
+
+        # Carries must be initialized VARYING (derived from ref data), not as
+        # splat constants: Mosaic assigns splats a replicated layout, and once
+        # a y-dependent mask makes the carry varying the loop back-edge would
+        # need an (illegal) varying->replicated relayout.
+        vz = y0[0] * 0.0
+        vzi = vz.astype(i32)
+        carry0 = _Carry(
+            alive=jnp.ones((), i32),
+            t=vz + t0,
+            h=h0_ref[0],
+            y=y0,
+            reject=vzi,
+            stiff=vzi,
+            n_acc=vzi,
+            n_rej=vzi,
+            n_att=vzi,
+        )
+
+        def cond(c):
+            return c.alive > 0
+
+        def body(c):
+            # Mask algebra in i32 (0/1): Mosaic miscompiles the AND of two
+            # f32-derived i1 masks ("Invalid relayout ... replicated"), so
+            # masks are multiplied as integers and selects compare to 0.
+            def b2i(m):
+                return m.astype(i32)
+
+            act_i = (
+                b2i(c.t < tf) * b2i(c.stiff == 0) * b2i(c.n_att < cfg.max_steps)
+            )
+            t, y = c.t, c.y
+            h_eff = jnp.where(t + c.h > tf, tf - t, c.h)
+
+            f_vals = None
+            if meta is not None:
+                f_vals = _gather_forcings(forc_ref, meta, t, dtype)
+
+            k0 = rhs(t, y, f_vals)
+            ks = [k0]
+            for s in range(1, 7):
+                acc = list(y)
+                for j in range(s):
+                    if dp_a[s, j] != 0.0:
+                        # float(): weak-typed so f32 math stays f32 under x64.
+                        w = float(dp_a[s, j])
+                        acc = [acc[i] + (h_eff * w) * ks[j][i] for i in range(n_eq)]
+                ks.append(rhs(t + float(dp_c[s]) * h_eff, tuple(acc), f_vals))
+
+            y_out = list(y)
+            err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+            for s in range(7):
+                if dp_b[s] != 0.0:
+                    w = float(dp_b[s])
+                    y_out = [y_out[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
+                if dp_e[s] != 0.0:
+                    w = float(dp_e[s])
+                    err_c = [err_c[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
+            err = jnp.zeros(shp, dtype)
+            for i in range(n_eq):
+                tol = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))
+                err = jnp.maximum(err, jnp.abs(err_c[i] / tol))
+
+            accept_i = b2i(err <= 1.0)
+            jump_mag = jnp.zeros(shp, dtype)
+            for i in range(n_eq):
+                jump_mag = jnp.maximum(jump_mag, jnp.abs(ks[0][i] - ks[1][i]))
+            jump_i = b2i(jump_mag > cfg.slope_jump_thresh)
+            advance_i = act_i * accept_i * (1 - jump_i)
+            slope_i = act_i * accept_i * jump_i
+            rejected_i = act_i * (1 - accept_i)
+
+            # ---- dense output: live query window [q_lo, q_hi) ----
+            if q_total > 0:
+                t1 = t + h_eff
+                qm = [[jnp.zeros(shp, dtype) for _ in range(n_eq)] for _ in range(4)]
+                for m in range(4):
+                    for j in range(7):
+                        if dp_p[j, m] != 0.0:
+                            w = float(dp_p[j, m])
+                            for i in range(n_eq):
+                                qm[m][i] = qm[m][i] + w * ks[j][i]
+
+                big = jnp.asarray(2.0 * abs(tf) + 1e30, dtype)
+                min_t = jnp.min(jnp.where(act_i > 0, t, big))
+                max_t1 = jnp.max(
+                    jnp.where(advance_i > 0, t1, jnp.asarray(t0 - 1.0, dtype))
+                )
+                q_lo = jnp.sum((qt2 < min_t).astype(i32))  # strictly passed
+                q_hi = jnp.sum((qt2 <= max_t1).astype(i32))
+
+                def fill(qi, _):
+                    tq = qt_smem[0, qi]  # scalar read, dynamic index (SMEM)
+                    pred_i = advance_i * b2i(tq > t) * b2i(tq <= t1)
+                    pred = pred_i > 0
+                    theta = jnp.where(pred, (tq - t) / h_eff, 0.0)
+                    th2 = theta * theta
+                    for ci in range(n_eq):
+                        poly = (
+                            qm[0][ci] * theta
+                            + qm[1][ci] * th2
+                            + qm[2][ci] * th2 * theta
+                            + qm[3][ci] * th2 * th2
+                        )
+                        yd = y[ci] + h_eff * poly
+                        dense_ref[qi, ci] = jnp.where(pred, yd, dense_ref[qi, ci])
+                    return 0
+
+                lax.fori_loop(q_lo, q_hi, fill, 0)
+
+            raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
+            fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
+            fac_rej = jnp.where(
+                jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0)
+            )
+            fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
+
+            h0_lane = h0_ref[0]
+            h_slope = jnp.maximum(h_eff * 0.5, h0_lane * cfg.min_step_fraction)
+            h_new = jnp.where(
+                advance_i > 0,
+                h_eff * fac_acc,
+                jnp.where(slope_i > 0, h_slope, h_eff * fac_rej),
+            )
+            reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
+            stiff_new = rejected_i * jnp.maximum(
+                b2i(reject_new > cfg.max_rejects),
+                b2i(h_new < span * cfg.min_step_fraction),
+            )
+
+            t_new = jnp.where(advance_i > 0, t + h_eff, t)
+            stiff_acc = jnp.maximum(c.stiff, stiff_new)
+            n_att_new = c.n_att + act_i
+            still_i = (
+                b2i(t_new < tf) * b2i(stiff_acc == 0) * b2i(n_att_new < cfg.max_steps)
+            )
+            return _Carry(
+                alive=jnp.max(still_i),
+                t=t_new,
+                h=jnp.where(act_i > 0, h_new, c.h),
+                y=tuple(
+                    jnp.where(advance_i > 0, y_out[i], y[i]) for i in range(n_eq)
+                ),
+                reject=jnp.where(act_i > 0, reject_new, c.reject),
+                stiff=stiff_acc,
+                n_acc=c.n_acc + advance_i,
+                n_rej=c.n_rej + rejected_i,
+                n_att=n_att_new,
+            )
+
+        out = lax.while_loop(cond, body, carry0)
+
+        completed = out.t >= tf
+        nan = jnp.asarray(jnp.nan, dtype)
+        for ci in range(n_eq):
+            yf_ref[ci] = jnp.where(completed, out.y[ci], nan)
+        stiff_ref[0] = jnp.maximum(out.stiff, (~completed).astype(i32))
+        stats_ref[0] = out.n_acc
+        stats_ref[1] = out.n_rej
+        stats_ref[2] = out.n_att
+
+    return kernel
+
+
+def rk45_solve_pallas(
+    model,
+    y0: jax.Array,
+    t0,
+    tf,
+    query_times: Optional[jax.Array] = None,
+    params=None,
+    forcings: Optional[ForcingSet] = None,
+    h0: Optional[jax.Array] = None,
+    config: SolverConfig = SolverConfig(),
+    interpret: bool = False,
+) -> RK45Result:
+    """Fused-kernel RK45 over ``y0[S, N]`` (float32 path).
+
+    Drop-in for tiger_tpu.solver.rk45.rk45_solve (same result structure; the
+    stiff subset still goes through the standard Radau pipeline).  ``params``
+    must contain every field the model reads.  ``interpret=True`` runs the
+    kernel in the Pallas interpreter (CPU tests).
+    """
+    from tiger_tpu.solver.controller import initial_step
+
+    y0 = jnp.asarray(y0, jnp.float32)
+    s_count, n_eq = y0.shape
+    if h0 is None:
+        h0 = initial_step(model, y0, t0, params, forcings, config)
+    h0 = jnp.broadcast_to(jnp.asarray(h0, jnp.float32), (s_count,))
+
+    param_fields = tuple(sorted(params.keys())) if params is not None else ()
+    meta = forcings.meta if forcings is not None else None
+
+    # Pad S to a tile multiple; padded lanes replicate row 0.
+    s_pad = ((s_count + TILE - 1) // TILE) * TILE
+    n_tiles = s_pad // TILE
+
+    def pad_tail(a, axis):
+        pad_n = s_pad - s_count
+        if pad_n == 0:
+            return a
+        idx = jnp.zeros((pad_n,), jnp.int32)
+        return jnp.concatenate([a, jnp.take(a, idx, axis=axis)], axis=axis)
+
+    r_total = s_pad // LANES
+    y0_m = pad_tail(y0.T, 1).reshape(n_eq, r_total, LANES)
+    h0_m = pad_tail(h0[None, :], 1).reshape(1, r_total, LANES)
+    if params is not None:
+        p_stack = jnp.stack([jnp.asarray(params[k], jnp.float32) for k in param_fields])
+        p_m = pad_tail(p_stack, 1).reshape(len(param_fields), r_total, LANES)
+    else:
+        p_m = jnp.zeros((1, r_total, LANES), jnp.float32)
+    if forcings is not None:
+        f_m = pad_tail(forcings.data, 1).reshape(-1, r_total, LANES)
+    else:
+        f_m = jnp.zeros((1, r_total, LANES), jnp.float32)
+
+    q_total = 0 if query_times is None else int(np.asarray(query_times).shape[0])
+    qp = max(q_total, 1)
+    qt_m = jnp.zeros((1, qp), jnp.float32)
+    if q_total > 0:
+        qt_m = jnp.asarray(query_times, jnp.float32)[None, :]
+
+    kernel = _make_kernel(
+        model, param_fields, meta, float(t0), float(tf), n_eq, q_total, config
+    )
+
+    grid = (n_tiles,)
+    row_map = lambda i: (0, i, 0)
+    in_specs = [
+        pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_eq, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_m.shape[0], TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((f_m.shape[0], TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((n_eq, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (qp, n_eq, TILE_ROWS, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((3, r_total, LANES), jnp.int32),
+    ]
+
+    yf, dense, stiff, stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(qt_m, qt_m, y0_m, h0_m, p_m, f_m)
+
+    # Back to [S, ...] layout, dropping padding.
+    yf = yf.reshape(n_eq, s_pad).T[:s_count]
+    dense_out = dense.reshape(qp, n_eq, s_pad).transpose(2, 0, 1)[:s_count]
+    if q_total == 0:
+        dense_out = dense_out[:, :0, :]
+    stiff = stiff.reshape(s_pad)[:s_count] > 0
+    stats = stats.reshape(3, s_pad)[:, :s_count]
+
+    failed = stiff & False  # kernel folds failure into the stiff flag
+    return RK45Result(
+        y_final=yf,
+        dense=dense_out,
+        stiff=stiff,
+        failed=failed,
+        h0=h0,
+        stats=RKStats(n_accepted=stats[0], n_rejected=stats[1], n_attempts=stats[2]),
+    )

@@ -27,11 +27,19 @@ class DummyModel:
     N_EQ: int = 5
     UID: int = 1
 
-    def rhs(self, t, y, params=None, forcings=None) -> jax.Array:
+    def rhs_tuple(self, t, y, params=None, forcings=None) -> tuple:
+        """Unstacked RHS: ``y`` is any indexable of N_EQ component arrays.
+
+        The Pallas kernel calls this with tuples of (sublane, lane) blocks —
+        Mosaic strongly prefers 2-D vectors, so no stacking happens here.
+        """
         H0, H1, H2, H3, H4 = y[0], y[1], y[2], y[3], y[4]
         dH0 = 1.0 - 0.5 * H0
         dH1 = 1.2 + 0.5 * H0 - 0.3 * H1 - 0.4 - 0.6 * H1
         dH2 = 0.3 * H1 - 0.2
         dH3 = 0.6 * H1 - 0.4 * H3 - 0.3
         dH4 = 0.4 * H3 - 0.1
-        return jnp.stack([dH0, dH1, dH2, dH3, dH4])
+        return (dH0, dH1, dH2, dH3, dH4)
+
+    def rhs(self, t, y, params=None, forcings=None) -> jax.Array:
+        return jnp.stack(self.rhs_tuple(t, y, params, forcings))

@@ -34,16 +34,17 @@ class Model200:
 
     safe_pow: bool = True
 
-    def rhs(self, t, y, params, forcings=None) -> jax.Array:
+    def rhs_tuple(self, t, y, params, forcings=None) -> tuple:
+        """Unstacked RHS (``y``/``forcings`` any indexables; see DummyModel)."""
         P = params
         h_snow, h_stat, h_surf, h_grav, h_aq = y[0], y[1], y[2], y[3], y[4]
 
-        dtype = y.dtype
+        dtype = h_snow.dtype
         if forcings is None:
             rainfall = jnp.zeros((), dtype)
             temperature = jnp.zeros((), dtype)
         else:
-            n_forc = forcings.shape[0]
+            n_forc = len(forcings)
             rainfall = forcings[0].astype(dtype) if n_forc > 0 else jnp.zeros((), dtype)
             temperature = forcings[1].astype(dtype) if n_forc > 1 else jnp.zeros((), dtype)
 
@@ -83,4 +84,7 @@ class Model200:
         # 5) Aquifer
         dy4 = x4 - jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
 
-        return jnp.stack([dy0, dy1, dy2, dy3, dy4])
+        return (dy0, dy1, dy2, dy3, dy4)
+
+    def rhs(self, t, y, params, forcings=None) -> jax.Array:
+        return jnp.stack(self.rhs_tuple(t, y, params, forcings))

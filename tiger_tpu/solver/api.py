@@ -52,6 +52,7 @@ def solve(
     forcings: Optional[ForcingSet] = None,
     config: SolverConfig = SolverConfig(),
     mesh=None,
+    backend: str = "auto",
 ) -> SolveResult:
     """Integrate ``y0[S, N]`` from t0 to tf with dense output at query_times.
 
@@ -60,10 +61,26 @@ def solve(
     With ``mesh`` (a 1-D jax.sharding.Mesh) the RK45 phase is domain-
     decomposed over devices via shard_map; the (small) Radau stiff subset
     always runs single-device after host compaction.
+
+    ``backend``: 'auto' (fused Pallas kernel for float32 batches on TPU —
+    order-of-magnitude faster; XLA/vmap otherwise), 'pallas', or 'xla'.
     """
     y0 = jnp.asarray(y0)
     h0 = initial_step(model, y0, t0, params, forcings, config)
-    if mesh is not None:
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and mesh is None
+        and y0.dtype == jnp.float32
+        and jax.devices()[0].platform == "tpu"
+        and hasattr(model, "rhs_tuple")
+    )
+    if use_pallas:
+        from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
+
+        rk = rk45_solve_pallas(
+            model, y0, t0, tf, query_times, params, forcings, h0, config
+        )
+    elif mesh is not None:
         from tiger_tpu.dist import rk45_solve_sharded
 
         rk = rk45_solve_sharded(

@@ -77,8 +77,9 @@ def dp_step(rhs_t, t, y, h, k0, rtol, atol):
         acc = y
         for j in range(s):
             if a[s, j] != 0.0:
-                acc = acc + (h * a[s, j]) * ks[j]
-        ks.append(rhs_t(t + c[s] * h, acc))
+                # float(): weak-typed constants so f32 states stay f32 under x64.
+                acc = acc + (h * float(a[s, j])) * ks[j]
+        ks.append(rhs_t(t + float(c[s]) * h, acc))
     k = jnp.stack(ks)  # [7, N]
 
     b = jnp.asarray(tableau.DP_B, dtype)
