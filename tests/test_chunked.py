@@ -1,0 +1,86 @@
+"""Time-chunked solving: windowed streaming must match the unchunked run."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.test_model204 import NB_PARAMS
+from tiger_tpu.chunked import netcdf_window_loader, solve_chunked
+from tiger_tpu.forcing import ForcingSet, ForcingSpec
+from tiger_tpu.models import Model204, Y0_COMMON
+from tiger_tpu.solver import SolverConfig, solve
+
+
+@pytest.fixture
+def scenario():
+    rng = np.random.default_rng(21)
+    n_sys = 4
+    hours = 96  # 4 days
+    pr = rng.uniform(0, 0.0015, (hours, n_sys)).astype(np.float32)
+    t2m = rng.uniform(2, 12, (4, n_sys)).astype(np.float32)
+    params = {k: jnp.full((n_sys,), v) for k, v in NB_PARAMS.items()}
+    y0 = jnp.tile(jnp.asarray(Y0_COMMON), (n_sys, 1))
+    return pr, t2m, params, y0
+
+
+def test_chunked_matches_unchunked(scenario):
+    pr, t2m, params, y0 = scenario
+    tf = 4 * 1440.0
+
+    full = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    ref = solve(Model204(), y0, 0.0, tf, jnp.arange(0.0, tf + 1, 360.0),
+                params=params, forcings=full)
+
+    def load_window(w_start, w_end):
+        k_pr = int(w_start // 60)
+        k_t2m = int(w_start // 1440)
+        return ForcingSet.from_series(
+            [pr[k_pr : int(np.ceil(w_end / 60))], t2m[k_t2m : int(np.ceil(w_end / 1440))]],
+            [60.0, 1440.0],
+        )
+
+    res = solve_chunked(
+        Model204(), y0, 0.0, tf, chunk_minutes=1440.0,
+        load_window=load_window, query_interval=360.0, params=params,
+    )
+    assert res.dense.shape == ref.dense.shape
+    # Window restarts perturb step sequences; with time-varying forcing the
+    # frozen-at-step-start sampling then accumulates O(h)-at-boundary
+    # differences (same effect as tests/test_pallas_kernel.py) — percent level.
+    np.testing.assert_allclose(
+        np.asarray(res.y_final), np.asarray(ref.y_final), rtol=2e-2, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.dense), np.asarray(ref.dense), rtol=2e-2, atol=5e-4
+    )
+    # t0 row prefilled once.
+    np.testing.assert_allclose(np.asarray(res.dense[:, 0, :]), np.asarray(y0))
+
+
+def test_netcdf_window_loader(tmp_path, scenario):
+    from tiger_tpu.io import write_grid_forcing
+
+    pr, t2m, params, y0 = scenario
+    n_sys = pr.shape[1]
+    # Grids where each system maps to its own cell.
+    pr_g = pr.reshape(pr.shape[0], 1, n_sys)
+    t2m_g = t2m.reshape(t2m.shape[0], 1, n_sys)
+    write_grid_forcing(str(tmp_path / "pr.nc"), "pr", pr_g)
+    write_grid_forcing(str(tmp_path / "t2m.nc"), "t2m", t2m_g)
+    streams = np.arange(1, n_sys + 1)
+    with open(tmp_path / "lookup.csv", "w") as f:
+        f.write("stream,lat_index,lon_index\n")
+        for i, s in enumerate(streams):
+            f.write(f"{s},0,{i}\n")
+
+    specs = [
+        ForcingSpec(str(tmp_path / "pr.nc"), "pr", 1.0),
+        ForcingSpec(str(tmp_path / "t2m.nc"), "t2m", 24.0),
+    ]
+    loader = netcdf_window_loader(specs, streams, str(tmp_path / "lookup.csv"))
+    fs = loader(1440.0, 2880.0)
+    np.testing.assert_array_equal(np.asarray(fs.data[:24]), pr[24:48])
+    np.testing.assert_array_equal(np.asarray(fs.data[24]), t2m[1])
+
+    with pytest.raises(ValueError, match="not aligned"):
+        loader(30.0, 1470.0)

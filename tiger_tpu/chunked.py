@@ -1,0 +1,165 @@
+"""Time-chunked solving: stream long forcing records through bounded memory.
+
+The reference loads a fixed 2-day forcing window (main.cpp:525) and provides
+``loadTimeChunk(start, n)`` precisely for windowed streaming it never wires up
+(SURVEY.md section 5, "long-context analog").  A year of hourly forcing for
+1M systems is ~35 GB — it cannot sit in HBM next to the solver state, so:
+
+  - the simulation span [t0, tf] is split into windows of ``chunk_days``;
+  - each window's forcing block is read from NetCDF (or sliced from a
+    preloaded array), remapped, and shipped to the device while the previous
+    window integrates (the host read/remap naturally overlaps device compute
+    because JAX dispatch is asynchronous);
+  - the solver runs each window as a hot start from the previous window's
+    final state; window boundaries land exactly on query times so dense
+    output is seamless.
+
+Semantics note: forcing gathers inside window k index time RELATIVE to the
+window start, which matches the absolute zero-order-hold series exactly when
+``chunk_days*1440`` is a multiple of every forcing dt (enforced), because ZOH
+sample boundaries then align with window boundaries.  Step sequences differ
+slightly from an unchunked run (integration restarts at window edges), which
+is within controller tolerance — the reference's 2-day-at-a-time operation
+has the same property.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiger_tpu.forcing import ForcingSet
+from tiger_tpu.solver.api import SolveResult, solve
+from tiger_tpu.solver.config import SolverConfig
+
+
+def solve_chunked(
+    model,
+    y0: jax.Array,
+    t0: float,
+    tf: float,
+    chunk_minutes: float,
+    load_window: Callable[[float, float], Optional[ForcingSet]],
+    query_interval: Optional[float] = None,
+    params=None,
+    config: SolverConfig = SolverConfig(),
+    mesh=None,
+    backend: str = "auto",
+) -> SolveResult:
+    """Integrate [t0, tf] in windows of ``chunk_minutes``.
+
+    ``load_window(w_start, w_end)`` returns the ForcingSet covering that
+    absolute window (its block index 0 must correspond to time ``w_start``),
+    or None for unforced runs.  ``query_interval`` (minutes) produces dense
+    output exactly like an unchunked run with queries every interval.
+    """
+    if chunk_minutes <= 0:
+        raise ValueError("chunk_minutes must be positive")
+    n_windows = max(1, math.ceil((tf - t0) / chunk_minutes - 1e-9))
+
+    y = jnp.asarray(y0)
+    s_count, n_eq = y.shape
+    all_dense = []
+    all_qt = []
+    stiff_any = jnp.zeros((s_count,), bool)
+    failed_any = jnp.zeros((s_count,), bool)
+    n_stiff_total = 0
+    rk_stats = None
+
+    for w in range(n_windows):
+        w_start = t0 + w * chunk_minutes
+        w_end = min(tf, w_start + chunk_minutes)
+        forcings = load_window(w_start, w_end)
+
+        qt = None
+        if query_interval is not None:
+            # Queries in (w_start, w_end], expressed window-relative; the
+            # w == 0 window also carries the t0 query (fill_t0_queries).
+            lo = w_start if w == 0 else w_start + query_interval
+            qt_abs = np.arange(
+                math.ceil((lo - t0) / query_interval - 1e-9),
+                math.floor((w_end - t0) / query_interval + 1e-9) + 1,
+            ) * query_interval + t0
+            qt = jnp.asarray(qt_abs - w_start)
+            all_qt.append(qt_abs)
+
+        res = solve(
+            model,
+            y,
+            0.0,
+            w_end - w_start,
+            qt,
+            params=params,
+            forcings=forcings,
+            config=config,
+            mesh=mesh,
+            backend=backend,
+        )
+        y = jnp.where(jnp.isnan(res.y_final), y, res.y_final)
+        if qt is not None:
+            all_dense.append(res.dense)
+        stiff_any = stiff_any | res.stiff
+        failed_any = failed_any | res.failed
+        n_stiff_total += res.n_stiff
+        rk_stats = res.rk_stats if rk_stats is None else jax.tree.map(
+            lambda a, b: a + b, rk_stats, res.rk_stats
+        )
+
+    dense = (
+        jnp.concatenate(all_dense, axis=1)
+        if all_dense
+        else jnp.zeros((s_count, 0, n_eq), y.dtype)
+    )
+    return SolveResult(
+        y_final=y,
+        dense=dense,
+        stiff=stiff_any,
+        failed=failed_any,
+        rk_stats=rk_stats,
+        radau_stats=None,
+        n_stiff=n_stiff_total,
+    )
+
+
+def netcdf_window_loader(
+    specs: Sequence,
+    stream_ids: np.ndarray,
+    lookup_csv: str,
+) -> Callable[[float, float], ForcingSet]:
+    """Window loader over NetCDF files: reads only the needed time steps.
+
+    Returns a ``load_window`` for solve_chunked; each call does an
+    ``nc_get_vara``-style windowed read (NetCDFReader.load_time_chunk) plus
+    the vectorized remap — the reference's loadTimeChunk streaming design
+    actually wired up.
+    """
+    from tiger_tpu.forcing import remap_grid_to_systems
+    from tiger_tpu.io.lookup import LookupTable
+    from tiger_tpu.io.netcdf import NetCDFReader
+
+    lut = LookupTable.load(lookup_csv)
+
+    def load_window(w_start: float, w_end: float) -> ForcingSet:
+        series, dts = [], []
+        for spec in specs:
+            dt_min = spec.dt_hours * 60.0
+            if abs((w_start / dt_min) - round(w_start / dt_min)) > 1e-9:
+                raise ValueError(
+                    f"window start {w_start} min not aligned to forcing dt {dt_min} min"
+                )
+            k0 = int(round(w_start / dt_min))
+            k1 = int(math.ceil(w_end / dt_min - 1e-9))
+            with NetCDFReader(spec.path, spec.var) as rd:
+                k0c = min(k0, rd.time_size - 1)
+                k1c = min(max(k1, k0c + 1), rd.time_size)
+                chunk = rd.load_time_chunk(k0c, k1c - k0c)
+                flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
+                series.append(remap_grid_to_systems(chunk, flat))
+                dts.append(dt_min)
+        return ForcingSet.from_series(series, dts)
+
+    return load_window
