@@ -64,16 +64,24 @@ class _Carry(NamedTuple):
 
 
 def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype):
-    """ZOH gather for every lane: tuple of (R, 128) forcing values at time t."""
+    """ZOH gather for every lane: tuple of (R, 128) forcing values at time t.
+
+    Lanes in a tile sit at similar times, so instead of scanning all n_t time
+    steps we loop only over the tile's live index window [min(idx), max(idx)]
+    — almost always 1-2 iterations (adaptive steps are minutes, forcing steps
+    are hours).
+    """
     vals = []
     for off, n_t, dt in zip(meta.offsets, meta.n_steps, meta.dt_min):
         idx = jnp.clip((t / dt).astype(jnp.int32), 0, n_t - 1)
+        k_lo = jnp.min(idx)
+        k_hi = jnp.max(idx)
 
         def body(k, acc):
             row = forc_ref[off + k]  # (R, 128) float32
             return jnp.where(idx == k, row.astype(dtype), acc)
 
-        vals.append(lax.fori_loop(0, n_t, body, jnp.zeros_like(t)))
+        vals.append(lax.fori_loop(k_lo, k_hi + 1, body, jnp.zeros_like(t)))
     return tuple(vals)
 
 
@@ -312,6 +320,26 @@ def rk45_solve_pallas(
 
     param_fields = tuple(sorted(params.keys())) if params is not None else ()
     meta = forcings.meta if forcings is not None else None
+    forc_data = None if forcings is None else forcings.data
+    qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
+    # The whole pipeline (pad/reshape + pallas_call + unpad) runs under ONE
+    # jit: dispatched eagerly, the ~15 layout ops each pay a host->device
+    # round trip, which dominated wall time on the remote-tunneled TPU.
+    return _pallas_pipeline(
+        model, y0, h0, params, forc_data, qt,
+        float(t0), float(tf), meta, config, param_fields, bool(interpret),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "t0", "tf", "meta", "config", "param_fields", "interpret"),
+)
+def _pallas_pipeline(
+    model, y0, h0, params, forc_data, query_times,
+    t0, tf, meta, config, param_fields, interpret,
+):
+    s_count, n_eq = y0.shape
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
     s_pad = ((s_count + TILE - 1) // TILE) * TILE
@@ -332,19 +360,19 @@ def rk45_solve_pallas(
         p_m = pad_tail(p_stack, 1).reshape(len(param_fields), r_total, LANES)
     else:
         p_m = jnp.zeros((1, r_total, LANES), jnp.float32)
-    if forcings is not None:
-        f_m = pad_tail(forcings.data, 1).reshape(-1, r_total, LANES)
+    if forc_data is not None:
+        f_m = pad_tail(forc_data, 1).reshape(-1, r_total, LANES)
     else:
         f_m = jnp.zeros((1, r_total, LANES), jnp.float32)
 
-    q_total = 0 if query_times is None else int(np.asarray(query_times).shape[0])
+    q_total = 0 if query_times is None else query_times.shape[0]
     qp = max(q_total, 1)
     qt_m = jnp.zeros((1, qp), jnp.float32)
     if q_total > 0:
-        qt_m = jnp.asarray(query_times, jnp.float32)[None, :]
+        qt_m = query_times[None, :]
 
     kernel = _make_kernel(
-        model, param_fields, meta, float(t0), float(tf), n_eq, q_total, config
+        model, param_fields, meta, t0, tf, n_eq, q_total, config
     )
 
     grid = (n_tiles,)
