@@ -3,7 +3,8 @@
 One `pallas_call` runs the ENTIRE t0->tf adaptive integration for a tile of
 systems with all state resident in VMEM:
 
-  - tile = (8 sublanes x 128 lanes) = 1024 systems (f32 native tiling);
+  - tile = (up to 32 sublanes x 128 lanes) = up to 4096 systems, auto-sized
+    to the VMEM budget (_pick_tile_rows);
   - the adaptive loop is a `lax.while_loop` whose carry (t, h, y, stage
     slopes, dense buffer, per-lane counters) never round-trips HBM — the
     XLA/vmap path re-reads and re-writes its loop carry from HBM every
@@ -45,9 +46,27 @@ from tiger_tpu.solver import tableau
 from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.rk45 import RK45Result, RKStats
 
-TILE_ROWS = 8  # sublanes per tile; tile systems = TILE_ROWS * 128
 LANES = 128
-TILE = TILE_ROWS * LANES
+MAX_TILE_ROWS = 32  # tile systems = rows * 128; 32 rows = 4096 systems/tile
+_VMEM_BUDGET = 10 * 2**20  # leave headroom under the ~16 MB/core VMEM
+
+
+def _pick_tile_rows(q_total: int, n_eq: int, t_forc: int, n_params: int) -> int:
+    """Largest tile (rows of 128 lanes) whose working set fits VMEM.
+
+    Per lane: dense block (qp * n_eq), forcing block, params, and ~70 f32
+    live values (carries, 7 stages, temporaries).  Bigger tiles amortize the
+    while-loop overhead across more lanes: 8 -> 32 rows measured 2.3x on the
+    2-day Model-204 bench.  Falls to 8 for large query counts; callers
+    needing huge Q on TPU should window queries (tiger_tpu.chunked) or use
+    the XLA path.
+    """
+    qp = max(q_total, 1)
+    per_lane = 4 * (qp * n_eq + t_forc + n_params + 70)
+    for rows in (32, 16, 8):
+        if per_lane * rows * LANES <= _VMEM_BUDGET:
+            return rows
+    return 8
 
 
 class _Carry(NamedTuple):
@@ -340,10 +359,14 @@ def _pallas_pipeline(
     t0, tf, meta, config, param_fields, interpret,
 ):
     s_count, n_eq = y0.shape
+    q_total_pick = 0 if query_times is None else query_times.shape[0]
+    t_forc = 1 if forc_data is None else forc_data.shape[0]
+    tile_rows = _pick_tile_rows(q_total_pick, n_eq, t_forc, max(len(param_fields), 1))
+    tile = tile_rows * LANES
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
-    s_pad = ((s_count + TILE - 1) // TILE) * TILE
-    n_tiles = s_pad // TILE
+    s_pad = ((s_count + tile - 1) // tile) * tile
+    n_tiles = s_pad // tile
 
     def pad_tail(a, axis):
         pad_n = s_pad - s_count
@@ -380,18 +403,18 @@ def _pallas_pipeline(
     in_specs = [
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_eq, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((p_m.shape[0], TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((f_m.shape[0], TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_specs = [
-        pl.BlockSpec((n_eq, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (qp, n_eq, TILE_ROWS, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+            (qp, n_eq, tile_rows, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec((1, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, TILE_ROWS, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
