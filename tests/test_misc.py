@@ -1,0 +1,71 @@
+"""Coverage for controller parity modes, metrics, and BASELINE config #2."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tests.test_model204 import NB_PARAMS
+from tiger_tpu.forcing import ForcingSet
+from tiger_tpu.models import DummyModel, Model204, Y0_COMMON
+from tiger_tpu.profiling import Metrics
+from tiger_tpu.solver import SolverConfig, initial_step, solve
+
+
+def test_h0_global_zero_parity_mode():
+    # Reference: one h0 for every system, computed from a ZERO state
+    # (main.cpp:615-641).  For Model 204 d0 == 0 so h0 is the 1e-6 floor —
+    # the value behind every committed 204 artifact.
+    params = {k: jnp.full((3,), v) for k, v in NB_PARAMS.items()}
+    y0 = jnp.tile(jnp.asarray(Y0_COMMON), (3, 1))
+    cfg = SolverConfig(h0_mode="global-zero-y0")
+    h0 = initial_step(Model204(), y0, 0.0, params, None, cfg)
+    np.testing.assert_allclose(np.asarray(h0), 1e-6)
+
+    # Per-system mode uses the actual y0 and is larger here.
+    h0_ps = initial_step(Model204(), y0, 0.0, params, None, SolverConfig())
+    assert float(h0_ps[0]) > 1e-6
+
+    # Explicit initial_step wins over both.
+    h0_fix = initial_step(Model204(), y0, 0.0, params, None, SolverConfig(initial_step=0.25))
+    np.testing.assert_allclose(np.asarray(h0_fix), 0.25)
+
+
+def test_dummy_model_h0_matches_reference_formula():
+    # d0/d1 with plain 2-norm (NOT SciPy's RMS): scale = atol + rtol*|y0|.
+    y0 = jnp.ones((1, 5), jnp.float64)
+    h0 = float(initial_step(DummyModel(), y0, 0.0, None, None, SolverConfig())[0])
+    scale = 1e-9 + 1e-6 * 1.0
+    d0 = np.sqrt(5) / scale
+    f0 = np.array([0.5, 0.4, 0.1, -0.1, 0.3])
+    d1 = np.linalg.norm(f0 / scale)
+    np.testing.assert_allclose(h0, max(1e-6, 0.01 * d0 / (d1 + 1e-16)), rtol=1e-12)
+
+
+def test_dummy_driven_through_forcing_pipeline():
+    # BASELINE config #2: DummyModel with NetCDF-style forcings attached.
+    # The dummy physics ignores them; the plumbing (packed set, per-lane
+    # columns, ZOH gather inside the solver loop) must run regardless and
+    # reproduce the unforced trajectory exactly.
+    rng = np.random.default_rng(12)
+    n_sys = 4
+    pr = rng.uniform(0, 1, (48, n_sys)).astype(np.float32)
+    t2m = rng.uniform(-5, 5, (2, n_sys)).astype(np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.ones((n_sys, 5), jnp.float64)
+    forced = solve(DummyModel(), y0, 0.0, 5.0, forcings=forc)
+    unforced = solve(DummyModel(), y0, 0.0, 5.0)
+    np.testing.assert_array_equal(np.asarray(forced.y_final), np.asarray(unforced.y_final))
+
+
+def test_metrics_counters():
+    import json
+
+    m = Metrics()
+    with m.phase("solve"):
+        res = solve(DummyModel(), jnp.ones((2, 5), jnp.float64), 0.0, 5.0)
+    m.record_solve(res, m.phases["solve"])
+    s = m.summary()
+    assert s["num_systems"] == 2
+    assert s["rk_attempted_steps"] >= s["rk_accepted_steps"] > 0
+    assert s["system_steps_per_s"] > 0
+    assert s["n_stiff"] == 0
+    json.loads(m.dump())  # serializable
