@@ -18,8 +18,9 @@ from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.api import solve, SolveResult
 from tiger_tpu.solver.rk45 import rk45_solve
 from tiger_tpu.solver.radau import radau_solve
-from tiger_tpu.forcing import ForcingSet, ForcingMeta
-from tiger_tpu.models import DummyModel, Model204, get_model
+from tiger_tpu.forcing import ForcingSet, ForcingMeta, ForcingSpec, load_forcings
+from tiger_tpu.models import DummyModel, Model200, Model204, get_model
+from tiger_tpu.streams import StreamSet
 
 __version__ = "0.1.0"
 
@@ -31,7 +32,11 @@ __all__ = [
     "radau_solve",
     "ForcingSet",
     "ForcingMeta",
+    "ForcingSpec",
+    "load_forcings",
     "DummyModel",
+    "Model200",
     "Model204",
     "get_model",
+    "StreamSet",
 ]

@@ -73,6 +73,8 @@ class _Carry(NamedTuple):
     alive: jax.Array  # scalar i32: any lane still active (while-cond operand;
     #                   Mosaic rejects vector reductions inside the cond)
     t: jax.Array  # (R, 128)
+    t_c: jax.Array  # Kahan compensation for t: f32 t += h over ~1e3 steps
+    #                 otherwise drifts ~1e2 ulps, skewing forcing/dense windows
     h: jax.Array
     y: tuple  # N_EQ arrays of (R, 128) — kept 2-D; Mosaic dislikes 3-D vectors
     reject: jax.Array  # (R, 128) int32
@@ -155,6 +157,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         carry0 = _Carry(
             alive=jnp.ones((), i32),
             t=vz + t0,
+            t_c=vz,
             h=h0_ref[0],
             y=y0,
             reject=vzi,
@@ -276,7 +279,11 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 b2i(h_new < span * cfg.min_step_fraction),
             )
 
-            t_new = jnp.where(advance_i > 0, t + h_eff, t)
+            # Kahan-compensated t += h_eff on advancing lanes.
+            kh = h_eff - c.t_c
+            ks_sum = t + kh
+            tc_new = jnp.where(advance_i > 0, (ks_sum - t) - kh, c.t_c)
+            t_new = jnp.where(advance_i > 0, ks_sum, t)
             stiff_acc = jnp.maximum(c.stiff, stiff_new)
             n_att_new = c.n_att + act_i
             still_i = (
@@ -285,6 +292,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             return _Carry(
                 alive=jnp.max(still_i),
                 t=t_new,
+                t_c=tc_new,
                 h=jnp.where(act_i > 0, h_new, c.h),
                 y=tuple(
                     jnp.where(advance_i > 0, y_out[i], y[i]) for i in range(n_eq)

@@ -103,6 +103,13 @@ def solve(
         out_dtype = y0.dtype
         on_accel = next(iter(y0.devices())).platform != "cpu"
         cpu = jax.devices("cpu")[0] if on_accel else None
+        # Give the CPU retry/Radau real float64 even when the process-level
+        # x64 flag is off (the usual case for f32 TPU runs).
+        import contextlib
+
+        x64_ctx = (
+            jax.experimental.enable_x64() if on_accel else contextlib.nullcontext()
+        )
 
         def subset(arr, rows, axis=0):
             taken = jnp.take(jnp.asarray(arr), jnp.asarray(rows), axis=axis)
@@ -112,84 +119,85 @@ def solve(
                 )
             return taken
 
-        idx = np.nonzero(stiff_mask)[0]
-        bucket = _bucket(n_stiff)
-        pad_idx = np.concatenate([idx, np.full(bucket - n_stiff, idx[0], idx.dtype)])
-        y0_sub = subset(y0, pad_idx)
-        h0_sub = subset(rk.h0, pad_idx)
-        qt_sub = None if query_times is None else subset(query_times,
-            np.arange(np.asarray(query_times).shape[0]))
-        params_sub = None if params is None else {
-            k: subset(v, pad_idx) for k, v in params.items()
-        }
-        forc_sub = None
-        if forcings is not None:
-            forc_sub = ForcingSet(
-                data=subset(forcings.data, pad_idx, axis=1).astype(jnp.float32)
-                if on_accel
-                else forcings.data[:, pad_idx],
-                meta=forcings.meta,
-            )
+        with x64_ctx:
+            idx = np.nonzero(stiff_mask)[0]
+            bucket = _bucket(n_stiff)
+            pad_idx = np.concatenate([idx, np.full(bucket - n_stiff, idx[0], idx.dtype)])
+            y0_sub = subset(y0, pad_idx)
+            h0_sub = subset(rk.h0, pad_idx)
+            qt_sub = None if query_times is None else subset(query_times,
+                np.arange(np.asarray(query_times).shape[0]))
+            params_sub = None if params is None else {
+                k: subset(v, pad_idx) for k, v in params.items()
+            }
+            forc_sub = None
+            if forcings is not None:
+                forc_sub = ForcingSet(
+                    data=subset(forcings.data, pad_idx, axis=1).astype(jnp.float32)
+                    if on_accel
+                    else forcings.data[:, pad_idx],
+                    meta=forcings.meta,
+                )
 
-        def merge(rows_abs, y_part, dense_part, failed_part):
-            nonlocal y_final, dense, failed
-            rows_abs = jnp.asarray(rows_abs)
-            y_final = y_final.at[rows_abs].set(
-                jnp.asarray(np.asarray(y_part), out_dtype)
-            )
-            dense = dense.at[rows_abs].set(jnp.asarray(np.asarray(dense_part), out_dtype))
-            failed = failed.at[rows_abs].set(jnp.asarray(np.asarray(failed_part)))
+            def merge(rows_abs, y_part, dense_part, failed_part):
+                nonlocal y_final, dense, failed
+                rows_abs = jnp.asarray(rows_abs)
+                y_final = y_final.at[rows_abs].set(
+                    jnp.asarray(np.asarray(y_part), out_dtype)
+                )
+                dense = dense.at[rows_abs].set(jnp.asarray(np.asarray(dense_part), out_dtype))
+                failed = failed.at[rows_abs].set(jnp.asarray(np.asarray(failed_part)))
 
-        # First: an f64 RK45 retry of the flagged lanes.  Flags raised by the
-        # float32 accelerator pass are frequently precision artifacts (error
-        # ratios at tolerance ~ f32 rounding near physics kinks); a clean f64
-        # attempt resolves them far more cheaply than implicit Radau steps.
-        still_rel = np.arange(n_stiff)
-        if on_accel:
-            rk2 = rk45_solve(
-                model, y0_sub, t0, tf, qt_sub, params_sub, forc_sub,
-                h0=h0_sub, config=config,
-            )
-            rk2_stiff = np.asarray(rk2.stiff)[:n_stiff]
-            resolved_rel = np.nonzero(~rk2_stiff)[0]
-            if len(resolved_rel):
+            # First: an f64 RK45 retry of the flagged lanes.  Flags raised by the
+            # float32 accelerator pass are frequently precision artifacts (error
+            # ratios at tolerance ~ f32 rounding near physics kinks); a clean f64
+            # attempt resolves them far more cheaply than implicit Radau steps.
+            still_rel = np.arange(n_stiff)
+            if on_accel:
+                rk2 = rk45_solve(
+                    model, y0_sub, t0, tf, qt_sub, params_sub, forc_sub,
+                    h0=h0_sub, config=config,
+                )
+                rk2_stiff = np.asarray(rk2.stiff)[:n_stiff]
+                resolved_rel = np.nonzero(~rk2_stiff)[0]
+                if len(resolved_rel):
+                    merge(
+                        idx[resolved_rel],
+                        rk2.y_final[resolved_rel],
+                        rk2.dense[resolved_rel],
+                        rk2.failed[resolved_rel],
+                    )
+                still_rel = np.nonzero(rk2_stiff)[0]
+
+            if len(still_rel):
+                n2 = len(still_rel)
+                bucket2 = _bucket(n2)
+                pad2 = np.concatenate([still_rel, np.full(bucket2 - n2, still_rel[0])])
+                take2 = lambda a: None if a is None else jnp.take(a, jnp.asarray(pad2), axis=0)
+                forc2 = None
+                if forc_sub is not None:
+                    forc2 = ForcingSet(
+                        data=jnp.take(forc_sub.data, jnp.asarray(pad2), axis=1),
+                        meta=forc_sub.meta,
+                    )
+                rd = radau_solve(
+                    model,
+                    take2(y0_sub),
+                    t0,
+                    tf,
+                    qt_sub,
+                    None if params_sub is None else {k: take2(v) for k, v in params_sub.items()},
+                    forc2,
+                    h0=take2(h0_sub),
+                    config=config,
+                )
                 merge(
-                    idx[resolved_rel],
-                    rk2.y_final[resolved_rel],
-                    rk2.dense[resolved_rel],
-                    rk2.failed[resolved_rel],
+                    idx[still_rel],
+                    rd.y_final[:n2],
+                    rd.dense[:n2],
+                    rd.failed[:n2],
                 )
-            still_rel = np.nonzero(rk2_stiff)[0]
-
-        if len(still_rel):
-            n2 = len(still_rel)
-            bucket2 = _bucket(n2)
-            pad2 = np.concatenate([still_rel, np.full(bucket2 - n2, still_rel[0])])
-            take2 = lambda a: None if a is None else jnp.take(a, jnp.asarray(pad2), axis=0)
-            forc2 = None
-            if forc_sub is not None:
-                forc2 = ForcingSet(
-                    data=jnp.take(forc_sub.data, jnp.asarray(pad2), axis=1),
-                    meta=forc_sub.meta,
-                )
-            rd = radau_solve(
-                model,
-                take2(y0_sub),
-                t0,
-                tf,
-                qt_sub,
-                None if params_sub is None else {k: take2(v) for k, v in params_sub.items()},
-                forc2,
-                h0=take2(h0_sub),
-                config=config,
-            )
-            merge(
-                idx[still_rel],
-                rd.y_final[:n2],
-                rd.dense[:n2],
-                rd.failed[:n2],
-            )
-            radau_stats = rd.stats
+                radau_stats = rd.stats
 
     return SolveResult(
         y_final=y_final,
