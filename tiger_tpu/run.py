@@ -29,7 +29,7 @@ COLD_STATE_DEFAULTS = {
 }
 
 
-def run(cfg, devices=None, metrics=None, use_mesh: bool = True) -> dict:
+def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "auto") -> dict:
     """Execute one simulation described by a SimulationConfig; returns summary."""
     import jax
     import jax.numpy as jnp
@@ -126,6 +126,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True) -> dict:
             forcings=forcings,
             config=cfg.solver_config(),
             mesh=mesh,
+            backend=backend,
         )
         jax.block_until_ready(res.y_final)
     metrics.record_solve(res, time.perf_counter() - t_solve)
@@ -185,6 +186,12 @@ def main(argv: Optional[list] = None) -> int:
         "--distributed", action="store_true", help="jax.distributed.initialize()"
     )
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
+    p.add_argument(
+        "--backend",
+        default="auto",
+        choices=["auto", "pallas", "xla"],
+        help="RK45 backend: auto picks the fused Pallas kernel on f32 TPU runs",
+    )
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -202,7 +209,7 @@ def main(argv: Optional[list] = None) -> int:
     cfg = load_config(args.config)
     metrics = Metrics()
     with trace(args.profile_dir):
-        summary = run(cfg, metrics=metrics)
+        summary = run(cfg, metrics=metrics, backend=args.backend)
     import json
 
     print(json.dumps(summary, sort_keys=True, default=str))

@@ -107,9 +107,7 @@ def solve(
         # x64 flag is off (the usual case for f32 TPU runs).
         import contextlib
 
-        x64_ctx = (
-            jax.experimental.enable_x64() if on_accel else contextlib.nullcontext()
-        )
+        x64_ctx = jax.enable_x64(True) if on_accel else contextlib.nullcontext()
 
         def subset(arr, rows, axis=0):
             taken = jnp.take(jnp.asarray(arr), jnp.asarray(rows), axis=axis)
@@ -148,16 +146,31 @@ def solve(
                 dense = dense.at[rows_abs].set(jnp.asarray(np.asarray(dense_part), out_dtype))
                 failed = failed.at[rows_abs].set(jnp.asarray(np.asarray(failed_part)))
 
+            # Dense rows for the stiff subset come from SEGMENTED integration
+            # (land exactly on each query; tiger_tpu.solver.segmented): the
+            # interpolated dense path costs ~10x the bare integration in the
+            # vmap solvers, which made this pass minutes instead of seconds.
+            from tiger_tpu.solver.segmented import segmented_solve
+
+            def run_sub(method, y0_x, h0_x, params_x, forc_x):
+                if qt_sub is None:
+                    fn = rk45_solve if method == "rk45" else radau_solve
+                    return fn(
+                        model, y0_x, t0, tf, None, params_x, forc_x,
+                        h0=h0_x, config=config,
+                    )
+                return segmented_solve(
+                    model, method, y0_x, t0, tf, qt_sub, params_x, forc_x,
+                    h0=h0_x, config=config,
+                )
+
             # First: an f64 RK45 retry of the flagged lanes.  Flags raised by the
             # float32 accelerator pass are frequently precision artifacts (error
             # ratios at tolerance ~ f32 rounding near physics kinks); a clean f64
             # attempt resolves them far more cheaply than implicit Radau steps.
             still_rel = np.arange(n_stiff)
             if on_accel:
-                rk2 = rk45_solve(
-                    model, y0_sub, t0, tf, qt_sub, params_sub, forc_sub,
-                    h0=h0_sub, config=config,
-                )
+                rk2 = run_sub("rk45", y0_sub, h0_sub, params_sub, forc_sub)
                 rk2_stiff = np.asarray(rk2.stiff)[:n_stiff]
                 resolved_rel = np.nonzero(~rk2_stiff)[0]
                 if len(resolved_rel):
@@ -180,16 +193,12 @@ def solve(
                         data=jnp.take(forc_sub.data, jnp.asarray(pad2), axis=1),
                         meta=forc_sub.meta,
                     )
-                rd = radau_solve(
-                    model,
+                rd = run_sub(
+                    "radau",
                     take2(y0_sub),
-                    t0,
-                    tf,
-                    qt_sub,
+                    take2(h0_sub),
                     None if params_sub is None else {k: take2(v) for k, v in params_sub.items()},
                     forc2,
-                    h0=take2(h0_sub),
-                    config=config,
                 )
                 merge(
                     idx[still_rel],
@@ -197,7 +206,7 @@ def solve(
                     rd.dense[:n2],
                     rd.failed[:n2],
                 )
-                radau_stats = rd.stats
+                radau_stats = getattr(rd, "stats", None)
 
     return SolveResult(
         y_final=y_final,

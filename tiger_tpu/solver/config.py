@@ -32,7 +32,15 @@ class SolverConfig:
     # Event / stiffness detection (event_detector.cuh:11-15, rk45_kernel.cu:131-170)
     slope_jump_thresh: float = 100.0
     min_step_fraction: float = 1e-6
-    max_rejects: int = 5  # stiff when reject_count > max_rejects
+    # Stiff when reject_count > max_rejects.  The reference uses 5, which
+    # misfires badly after the controller has grown h (maxScale=10): resolving
+    # a physics kink from a large step needs > 6 shrink-retries, so kink-
+    # crossing lanes get flagged "stiff" and sent to Radau (measured 6% of a
+    # 2-day Model-204 basin; with 12 the count is zero and total attempts drop
+    # ~2x).  Truly stiff systems are still caught by the h < span *
+    # min_step_fraction criterion, which a dozen 0.2x shrinks reach quickly.
+    # Set 5 for reference behavioral parity.
+    max_rejects: int = 12
 
     # Step-shrink factor applied when the error norm is NaN (a stage produced
     # NaN/Inf).  CUDA's fmin(NaN, 1.0) == 1.0 leaves h unchanged in the

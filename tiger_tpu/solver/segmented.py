@@ -1,0 +1,125 @@
+"""Segmented dense output: integrate query-to-query instead of interpolating.
+
+The vmap solvers' interpolated dense output costs ~10x the bare integration
+(per-lane cursor scatters dominate); the Pallas kernel fixes that on TPU, but
+the CPU stiff pass (f64 retry + Radau on the compacted subset,
+tiger_tpu.solver.api) still needs dense rows.  This module produces them by
+integrating each [q_k, q_{k+1}] segment with NO dense machinery and recording
+the state at each query time — exact sampling (the solver lands exactly on
+the query, no interpolation error), at the cost of restarting the step size
+each segment.  Measured ~50x faster than the interpolated path for the stiff
+subset.
+
+One jitted segment function with TRACED time bounds (one compile for all
+segments); the host loop carries the state forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiger_tpu.forcing import ForcingSet, gather_forcings_column
+from tiger_tpu.solver.config import SolverConfig
+from tiger_tpu.solver.radau import _radau_system
+from tiger_tpu.solver.rk45 import _rk45_system
+
+
+class SegmentedResult(NamedTuple):
+    y_final: jax.Array  # [S, N]
+    dense: jax.Array  # [S, Q, N]
+    stiff: jax.Array  # [S] bool — flagged in ANY segment (rk45 only)
+    failed: jax.Array  # [S] bool
+    n_attempts: jax.Array  # [S] summed over segments
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "method", "meta", "config")
+)
+def _segment(model, method, y0, h0, t0v, t1v, params, forc_data, meta, config):
+    """One segment [t0v, t1v] (traced bounds), no dense output."""
+
+    def single(y0_row, h0_row, p_row, forc_col):
+        def rhs(t, y, f_vals):
+            return model.rhs(t, y, p_row, f_vals)
+
+        gather = None
+        if forc_col is not None:
+            gather = lambda t: gather_forcings_column(forc_col, meta, t)
+        sys_fn = _rk45_system if method == "rk45" else _radau_system
+        return sys_fn(rhs, gather, t0v, t1v, None, y0_row, h0_row, config)
+
+    in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
+    return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+
+
+def segmented_solve(
+    model,
+    method: str,  # 'rk45' | 'radau'
+    y0: jax.Array,
+    t0: float,
+    tf: float,
+    query_times,
+    params=None,
+    forcings: Optional[ForcingSet] = None,
+    h0=None,
+    config: SolverConfig = SolverConfig(),
+) -> SegmentedResult:
+    y0 = jnp.asarray(y0)
+    s_count, n_eq = y0.shape
+    dtype = y0.dtype
+    h0 = jnp.broadcast_to(jnp.asarray(h0, dtype), (s_count,))
+    forc_data = None if forcings is None else forcings.data
+    meta = None if forcings is None else forcings.meta
+
+    qt = np.asarray(query_times, np.float64) if query_times is not None else np.zeros(0)
+    q_total = len(qt)
+    dense = np.zeros((s_count, q_total, n_eq), np.asarray(y0[:1]).dtype)
+
+    y = y0
+    t_prev = float(t0)
+    stiff_any = jnp.zeros((s_count,), bool)
+    failed_any = jnp.zeros((s_count,), bool)
+    n_att = jnp.zeros((s_count,), jnp.int32)
+
+    def advance(y, t_a, t_b):
+        nonlocal stiff_any, failed_any, n_att
+        res = _segment(
+            model, method, y, h0,
+            jnp.asarray(t_a, dtype), jnp.asarray(t_b, dtype),
+            params, forc_data, meta, config,
+        )
+        if method == "rk45":
+            stiff_any = stiff_any | res.stiff
+        failed_any = failed_any | res.failed
+        n_att = n_att + res.stats.n_attempts
+        # Lanes that did not finish the segment keep their entry state
+        # (they are stiff-flagged and re-done by the Radau pass anyway).
+        return jnp.where(jnp.isnan(res.y_final), y, res.y_final)
+
+    # Queries at/below t0 take the initial state (fill_t0_queries semantics).
+    k = 0
+    while k < q_total and qt[k] <= t0 + 0.0:
+        if config.fill_t0_queries:
+            dense[:, k] = np.asarray(y)
+        k += 1
+    for q in range(k, q_total):
+        t_next = min(float(qt[q]), float(tf))
+        if t_next > t_prev:
+            y = advance(y, t_prev, t_next)
+            t_prev = t_next
+        dense[:, q] = np.asarray(y)
+    if t_prev < float(tf):
+        y = advance(y, t_prev, float(tf))
+
+    return SegmentedResult(
+        y_final=y,
+        dense=jnp.asarray(dense),
+        stiff=stiff_any,
+        failed=failed_any,
+        n_attempts=n_att,
+    )
