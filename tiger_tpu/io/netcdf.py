@@ -105,6 +105,12 @@ class NetCDFWriter:
     def set_attr(self, name: str, value):
         self._f.attrs[name] = np.bytes_(value.encode()) if isinstance(value, str) else value
 
+    def set_dim_attrs(self, dim: str, attrs: dict):
+        """Attach attributes (long_name, units, ...) to a coordinate variable."""
+        ds = self._dims[dim]
+        for k, v in attrs.items():
+            ds.attrs[k] = np.bytes_(v.encode()) if isinstance(v, str) else v
+
     def close(self):
         self._f.close()
 

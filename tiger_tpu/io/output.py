@@ -38,9 +38,8 @@ def write_final_netcdf(
     with NetCDFWriter(path) as w:
         w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
         w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
-        w._dims["system"].attrs["long_name"] = np.bytes_(b"LinkID")
-        w._dims["variable"].attrs["long_name"] = np.bytes_(b"state variable")
-        w._dims["variable"].attrs["units"] = np.bytes_(b"various units")
+        w.set_dim_attrs("system", {"long_name": "LinkID"})
+        w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
         w.def_var("outputs", y_final, ("system", "variable"), compression_level)
 
 
@@ -61,11 +60,9 @@ def write_dense_netcdf(
         w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
         w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
         w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
-        w._dims["system"].attrs["long_name"] = np.bytes_(b"LinkID")
-        w._dims["time"].attrs["long_name"] = np.bytes_(b"Time")
-        w._dims["time"].attrs["units"] = np.bytes_(b"minutes since start of simulation")
-        w._dims["variable"].attrs["long_name"] = np.bytes_(b"state variable")
-        w._dims["variable"].attrs["units"] = np.bytes_(b"various units")
+        w.set_dim_attrs("system", {"long_name": "LinkID"})
+        w.set_dim_attrs("time", {"long_name": "Time", "units": "minutes since start of simulation"})
+        w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
         w.def_var("outputs", dense, ("system", "time", "variable"), compression_level)
 
 

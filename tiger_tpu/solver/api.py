@@ -77,8 +77,12 @@ def solve(
     if use_pallas:
         from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
 
+        # Explicit backend='pallas' off-TPU runs the kernel interpreter
+        # (slow; useful for debugging the kernel itself).
+        interpret = jax.devices()[0].platform != "tpu"
         rk = rk45_solve_pallas(
-            model, y0, t0, tf, query_times, params, forcings, h0, config
+            model, y0, t0, tf, query_times, params, forcings, h0, config,
+            interpret=interpret,
         )
     elif mesh is not None:
         from tiger_tpu.dist import rk45_solve_sharded
