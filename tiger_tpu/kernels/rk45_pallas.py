@@ -345,6 +345,13 @@ def rk45_solve_pallas(
         h0 = initial_step(model, y0, t0, params, forcings, config)
     h0 = jnp.broadcast_to(jnp.asarray(h0, jnp.float32), (s_count,))
 
+    # Models that need Mosaic-safe math variants opt in via fields the kernel
+    # switches on (e.g. Model 200's polynomial inverse-trig for Hamon PET).
+    if not interpret and getattr(model, "approx_trig", None) is False:
+        import dataclasses as _dc
+
+        model = _dc.replace(model, approx_trig=True)
+
     param_fields = tuple(sorted(params.keys())) if params is not None else ()
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data

@@ -13,24 +13,39 @@ import jax
 import jax.numpy as jnp
 
 
-def hamon_pet(temperature: jax.Array, latitude: jax.Array, doy: jax.Array) -> jax.Array:
+def hamon_pet(
+    temperature: jax.Array,
+    latitude: jax.Array,
+    doy: jax.Array,
+    approx_trig: bool = False,
+) -> jax.Array:
     """Hamon potential evapotranspiration [m/min].
 
     CBM daylight model; reference src/models/ETmethods.cpp:11-42.
     ``temperature`` in degC, ``latitude`` in degrees, ``doy`` day-of-year.
+    ``approx_trig`` swaps the inverse-trig for Mosaic-lowerable polynomial
+    versions (tiger_tpu.models.mosaic_math) — required inside Pallas kernels,
+    accurate past float32 resolution.
     """
+    if approx_trig:
+        from tiger_tpu.models import mosaic_math as mm
+
+        arctan_f, arcsin_f, arccos_f, tan_f = mm.atan, mm.asin, mm.acos, mm.tan
+    else:
+        arctan_f, arcsin_f, arccos_f, tan_f = jnp.arctan, jnp.arcsin, jnp.arccos, jnp.tan
+
     # Saturation vapor pressure (mb) and saturated vapor density (g/m^3)
     esat = 6.108 * jnp.exp((17.26939 * temperature) / (temperature + 237.3))
     wt = 216.7 * esat / (temperature + 273.3)
 
     # Daylight fraction (units of 12 h) via the CBM model
-    theta = 0.2163108 + 2.0 * jnp.arctan(0.9671396 * jnp.tan(0.00860 * (doy - 186.0)))
-    phi = jnp.arcsin(0.39795 * jnp.cos(theta))
+    theta = 0.2163108 + 2.0 * arctan_f(0.9671396 * tan_f(0.00860 * (doy - 186.0)))
+    phi = arcsin_f(0.39795 * jnp.cos(theta))
     pi = jnp.pi
     num = jnp.sin(0.8333 * pi / 180.0) + jnp.sin(latitude * pi / 180.0) * jnp.sin(phi)
     den = jnp.cos(latitude * pi / 180.0) * jnp.cos(phi)
     arg = num / den
-    d = (24.0 - (24.0 / pi) * jnp.arccos(arg)) / 12.0
+    d = (24.0 - (24.0 / pi) * arccos_f(jnp.clip(arg, -1.0, 1.0) if approx_trig else arg)) / 12.0
 
     # Arctic handling: acos argument out of [-1,1] => polar day or night.
     # (The reference checks isnan(D) post-hoc; branchless equivalent.)

@@ -33,6 +33,10 @@ class Model200:
     UID: int = 200
 
     safe_pow: bool = True
+    # Polynomial inverse-trig for the Hamon daylight model — Mosaic (Pallas
+    # TPU) has no atan/asin/acos lowering; the kernel wrapper switches this
+    # on automatically (see rk45_solve_pallas).
+    approx_trig: bool = False
 
     def rhs_tuple(self, t, y, params, forcings=None) -> tuple:
         """Unstacked RHS (``y``/``forcings`` any indexables; see DummyModel)."""
@@ -62,7 +66,7 @@ class Model200:
         # 2) Static store with Hamon PET + moisture-ramp actual ET
         x2 = jnp.maximum(0.0, x1 + h_stat - P["Hu"])
         d1 = x1 - x2
-        pet = hamon_pet(temperature, P["lat"], doy)  # [m/min]
+        pet = hamon_pet(temperature, P["lat"], doy, approx_trig=self.approx_trig)  # [m/min]
         e_max = jnp.minimum(pet, h_stat)
         s = h_stat / P["Hu"]
         et = et_actual(e_max, s, P["sw"], P["ss"])
