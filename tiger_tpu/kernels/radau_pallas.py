@@ -1,0 +1,425 @@
+"""Pallas TPU kernel: fused batched Radau IIA (implicit) integration.
+
+Companion to rk45_pallas for the stiff subset: per (rows x 128)-lane tile the
+ENTIRE t0->tf implicit integration runs in one kernel with VMEM-resident
+state.  The 3N x 3N simplified-Newton system is held as N_STACK^2 separate
+(R, 128) lane-vectors and factorized with fully unrolled, unpivoted Doolittle
+LU — every lane solves its own 15x15 system simultaneously on the VPU (the
+CUDA reference does one scalar 15x15 per thread, small_lu.cuh:13-40).
+
+Numerics follow tiger_tpu.solver.radau with ONE further deliberate
+divergence, noted here: the Jacobian is evaluated ONCE per attempted step at
+(t, y) — the standard simplified-Newton of production Radau codes (Hairer's
+RADAU5) — rather than re-evaluated at every stage point on every Newton
+iteration (radau_step_dense.cuh:96-129), which would cost 6x more RHS
+evaluations for no accuracy benefit on these mild Jacobians.  The embedded
+error weights and step controller match SolverConfig.radau_error_mode.
+
+All the Mosaic workarounds from rk45_pallas apply (i32 mask algebra, varying
+carry init, refs for dynamic indexing, 2-D-only state).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiger_tpu.forcing import ForcingSet
+from tiger_tpu.kernels.rk45_pallas import LANES, _gather_forcings
+from tiger_tpu.solver import tableau
+from tiger_tpu.solver.config import SolverConfig
+from tiger_tpu.solver.radau import RadauResult, RadauStats
+
+_VMEM_BUDGET = 9 * 2**20
+
+
+def _pick_tile_rows(q_total: int, n_eq: int, t_forc: int, n_params: int) -> int:
+    """Tile rows fitting VMEM: the Newton matrix alone is (3*n_eq)^2 values/lane."""
+    qp = max(q_total, 1)
+    n_stack = 3 * n_eq
+    per_lane = 4 * (qp * n_eq + t_forc + n_params + n_stack * n_stack + 8 * n_stack + 60)
+    for rows in (16, 8):
+        if per_lane * rows * LANES <= _VMEM_BUDGET:
+            return rows
+    return 8
+
+
+class _Carry(NamedTuple):
+    alive: jax.Array  # scalar i32
+    t: jax.Array
+    t_c: jax.Array  # Kahan compensation
+    h: jax.Array
+    y: tuple  # N_EQ x (R, 128)
+    reject: jax.Array  # consecutive rejections (bail-out -> failed)
+    failed: jax.Array  # i32 0/1
+    n_acc: jax.Array
+    n_rej: jax.Array
+    n_att: jax.Array
+
+
+def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
+    ra = tableau.RADAU_A  # (3,3) numpy
+    rc = tableau.RADAU_C
+    rb = tableau.RADAU_B
+    re = tableau.RADAU_E3 if cfg.radau_error_mode == "embedded3" else tableau.RADAU_E
+    rw = tableau.RADAU_DENSE  # (3,3): I_s(theta) monomial coefficients
+    expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
+    n_stack = 3 * n_eq
+
+    def kernel(qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
+               yf_ref, dense_ref, failed_ref, stats_ref):
+        dtype = y0_ref.dtype
+        y0 = tuple(y0_ref[i] for i in range(n_eq))
+        qt2 = qt_ref[...] if q_total > 0 else None
+        r = y0[0].shape[0]
+        shp = (r, LANES)
+        i32 = jnp.int32
+
+        def rhs(t, y, f_vals):
+            p = {name: params_ref[i] for i, name in enumerate(param_fields)}
+            return model.rhs_tuple(t, y, p, f_vals)
+
+        def b2i(m):
+            return m.astype(i32)
+
+        # dense init (same semantics as the RK45 kernel)
+        if q_total > 0 and cfg.fill_t0_queries:
+            n_pre = jnp.sum((qt2 <= t0).astype(i32))
+        else:
+            n_pre = jnp.zeros((), i32)
+        zero2d = jnp.zeros(shp, dtype)
+
+        def init_row(qi, _):
+            pre = qi < n_pre
+            for ci in range(n_eq):
+                dense_ref[qi, ci] = jnp.where(pre, y0[ci], zero2d)
+            return 0
+
+        lax.fori_loop(0, max(q_total, 1), init_row, 0)
+
+        vz = y0[0] * 0.0
+        vzi = vz.astype(i32)
+        carry0 = _Carry(
+            alive=jnp.ones((), i32),
+            t=vz + t0,
+            t_c=vz,
+            h=h0_ref[0],
+            y=y0,
+            reject=vzi,
+            failed=vzi,
+            n_acc=vzi,
+            n_rej=vzi,
+            n_att=vzi,
+        )
+
+        def cond(c):
+            return c.alive > 0
+
+        def body(c):
+            act_i = (
+                b2i(c.t < tf) * b2i(c.failed == 0) * b2i(c.n_att < cfg.max_steps)
+            )
+            t, y = c.t, c.y
+            h_eff = jnp.where(t + c.h > tf, tf - t, c.h)
+
+            f_vals = None
+            if meta is not None:
+                f_vals = _gather_forcings(forc_ref, meta, t, dtype)
+
+            f0 = rhs(t, y, f_vals)
+
+            # ---- Jacobian (FD, once per step at (t, y)) ----
+            # dtype-aware step: the reference's sqrt(1e-16)=1e-8
+            # (radau_step_dense.cuh:20) is below float32 resolution — the
+            # perturbation would vanish and the Jacobian degenerate.
+            eps = float(np.sqrt(np.finfo(np.dtype(dtype.name)).eps))
+            jac = [[None] * n_eq for _ in range(n_eq)]
+            for j in range(n_eq):
+                h_eps = eps * jnp.maximum(1.0, jnp.abs(y[j]))
+                y_pert = tuple(y[i] + (h_eps if i == j else 0.0) for i in range(n_eq))
+                f_p = rhs(t, y_pert, f_vals)
+                for i in range(n_eq):
+                    jac[i][j] = (f_p[i] - f0[i]) / h_eps
+
+            # ---- Newton matrix M = I - h A (x) J, unrolled (3N)^2 ----
+            mm = [[None] * n_stack for _ in range(n_stack)]
+            for s in range(3):
+                for sp in range(3):
+                    a_w = float(ra[s, sp])
+                    for i in range(n_eq):
+                        for j in range(n_eq):
+                            v = (-h_eff * a_w) * jac[i][j]
+                            if s == sp and i == j:
+                                v = v + 1.0
+                            mm[s * n_eq + i][sp * n_eq + j] = v
+
+            # ---- in-place unpivoted LU (Doolittle, multipliers stored) ----
+            for k in range(n_stack):
+                inv_piv = 1.0 / mm[k][k]
+                for i in range(k + 1, n_stack):
+                    m_ik = mm[i][k] * inv_piv
+                    mm[i][k] = m_ik
+                    for j in range(k + 1, n_stack):
+                        mm[i][j] = mm[i][j] - m_ik * mm[k][j]
+
+            def lu_solve(bvec):
+                x = list(bvec)
+                for k in range(n_stack):
+                    for i in range(k + 1, n_stack):
+                        x[i] = x[i] - mm[i][k] * x[k]
+                for k in reversed(range(n_stack)):
+                    acc = x[k]
+                    for j in range(k + 1, n_stack):
+                        acc = acc - mm[k][j] * x[j]
+                    x[k] = acc / mm[k][k]
+                return x
+
+            # ---- Newton iteration on stage slopes Z (init f0) ----
+            z = [f0[i % n_eq] for i in range(n_stack)]  # Z[s*n_eq+i]
+            conv_i = vzi  # per-lane converged flag
+
+            for _ in range(cfg.newton_max_iter):
+                bvec = []
+                for s in range(3):
+                    ys = list(y)
+                    for j in range(3):
+                        a_w = float(ra[s, j])
+                        ys = [
+                            ys[i] + (h_eff * a_w) * z[j * n_eq + i]
+                            for i in range(n_eq)
+                        ]
+                    fs = rhs(t + float(rc[s]) * h_eff, tuple(ys), f_vals)
+                    for i in range(n_eq):
+                        bvec.append(fs[i] - z[s * n_eq + i])
+                delta = lu_solve(bvec)
+                upd = (1 - conv_i).astype(dtype)
+                maxd = jnp.zeros(shp, dtype)
+                for a in range(n_stack):
+                    z[a] = z[a] + upd * delta[a]
+                    maxd = jnp.maximum(maxd, jnp.abs(delta[a]))
+                conv_i = jnp.maximum(conv_i, b2i(maxd < cfg.newton_tol))
+
+            # ---- step update + embedded error ----
+            y_out = list(y)
+            err = jnp.zeros(shp, dtype)
+            err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+            for s in range(3):
+                for i in range(n_eq):
+                    y_out[i] = y_out[i] + (h_eff * float(rb[s])) * z[s * n_eq + i]
+                    err_c[i] = err_c[i] + (h_eff * float(re[s])) * z[s * n_eq + i]
+            for i in range(n_eq):
+                tol = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))
+                err = jnp.maximum(err, jnp.abs(err_c[i] / tol))
+
+            accept_i = act_i * b2i(err <= 1.0)
+            rejected_i = act_i * (1 - b2i(err <= 1.0))
+
+            # ---- dense output (collocation interpolant on Z) ----
+            if q_total > 0:
+                t1 = t + h_eff
+                big = jnp.asarray(2.0 * abs(tf) + 1e30, dtype)
+                min_t = jnp.min(jnp.where(act_i > 0, t, big))
+                max_t1 = jnp.max(
+                    jnp.where(accept_i > 0, t1, jnp.asarray(t0 - 1.0, dtype))
+                )
+                q_lo = jnp.sum((qt2 < min_t).astype(i32))
+                q_hi = jnp.sum((qt2 <= max_t1).astype(i32))
+
+                qm = [[jnp.zeros(shp, dtype) for _ in range(n_eq)] for _ in range(3)]
+                for m in range(3):
+                    for s in range(3):
+                        w = float(rw[s, m])
+                        for i in range(n_eq):
+                            qm[m][i] = qm[m][i] + w * z[s * n_eq + i]
+
+                def fill(qi, _):
+                    tq = qt_smem[0, qi]
+                    pred_i = accept_i * b2i(tq > t) * b2i(tq <= t1)
+                    pred = pred_i > 0
+                    theta = jnp.where(pred, (tq - t) / h_eff, 0.0)
+                    th2 = theta * theta
+                    for ci in range(n_eq):
+                        poly = qm[0][ci] * theta + qm[1][ci] * th2 + qm[2][ci] * th2 * theta
+                        yd = y[ci] + h_eff * poly
+                        dense_ref[qi, ci] = jnp.where(pred, yd, dense_ref[qi, ci])
+                    return 0
+
+                lax.fori_loop(q_lo, q_hi, fill, 0)
+
+            raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
+            fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
+            fac_rej = jnp.where(
+                jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0)
+            )
+            fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
+            h_new = h_eff * jnp.where(accept_i > 0, fac_acc, fac_rej)
+
+            reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
+            failed_new = jnp.maximum(
+                c.failed, rejected_i * b2i(reject_new > cfg.radau_max_rejects)
+            )
+
+            kh = h_eff - c.t_c
+            ks_sum = t + kh
+            tc_new = jnp.where(accept_i > 0, (ks_sum - t) - kh, c.t_c)
+            t_new = jnp.where(accept_i > 0, ks_sum, t)
+            n_att_new = c.n_att + act_i
+            still_i = (
+                b2i(t_new < tf) * b2i(failed_new == 0) * b2i(n_att_new < cfg.max_steps)
+            )
+            return _Carry(
+                alive=jnp.max(still_i),
+                t=t_new,
+                t_c=tc_new,
+                h=jnp.where(act_i > 0, h_new, c.h),
+                y=tuple(
+                    jnp.where(accept_i > 0, y_out[i], y[i]) for i in range(n_eq)
+                ),
+                reject=jnp.where(act_i > 0, reject_new, c.reject),
+                failed=failed_new,
+                n_acc=c.n_acc + accept_i,
+                n_rej=c.n_rej + rejected_i,
+                n_att=n_att_new,
+            )
+
+        out = lax.while_loop(cond, body, carry0)
+
+        completed = out.t >= tf
+        nan = jnp.asarray(jnp.nan, dtype)
+        for ci in range(n_eq):
+            yf_ref[ci] = jnp.where(completed, out.y[ci], nan)
+        failed_ref[0] = jnp.maximum(out.failed, (~completed).astype(i32))
+        stats_ref[0] = out.n_acc
+        stats_ref[1] = out.n_rej
+        stats_ref[2] = out.n_att
+
+    return kernel
+
+
+def radau_solve_pallas(
+    model,
+    y0: jax.Array,
+    t0,
+    tf,
+    query_times=None,
+    params=None,
+    forcings: Optional[ForcingSet] = None,
+    h0=None,
+    config: SolverConfig = SolverConfig(),
+    interpret: bool = False,
+) -> RadauResult:
+    """Fused-kernel Radau IIA over ``y0[S, N]`` (float32 path)."""
+    from tiger_tpu.solver.controller import initial_step
+
+    y0 = jnp.asarray(y0, jnp.float32)
+    s_count, _ = y0.shape
+    if h0 is None:
+        h0 = initial_step(model, y0, t0, params, forcings, config)
+    h0 = jnp.broadcast_to(jnp.asarray(h0, jnp.float32), (s_count,))
+    if getattr(model, "approx_trig", None) is False and not interpret:
+        import dataclasses as _dc
+
+        model = _dc.replace(model, approx_trig=True)
+    param_fields = tuple(sorted(params.keys())) if params is not None else ()
+    meta = forcings.meta if forcings is not None else None
+    forc_data = None if forcings is None else forcings.data
+    qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
+    return _pipeline(
+        model, y0, h0, params, forc_data, qt,
+        float(t0), float(tf), meta, config, param_fields, bool(interpret),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "t0", "tf", "meta", "config", "param_fields", "interpret"),
+)
+def _pipeline(
+    model, y0, h0, params, forc_data, query_times,
+    t0, tf, meta, config, param_fields, interpret,
+):
+    s_count, n_eq = y0.shape
+    q_total = 0 if query_times is None else query_times.shape[0]
+    t_forc = 1 if forc_data is None else forc_data.shape[0]
+    tile_rows = _pick_tile_rows(q_total, n_eq, t_forc, max(len(param_fields), 1))
+    tile = tile_rows * LANES
+    s_pad = ((s_count + tile - 1) // tile) * tile
+    n_tiles = s_pad // tile
+
+    def pad_tail(a, axis):
+        pad_n = s_pad - s_count
+        if pad_n == 0:
+            return a
+        idx = jnp.zeros((pad_n,), jnp.int32)
+        return jnp.concatenate([a, jnp.take(a, idx, axis=axis)], axis=axis)
+
+    r_total = s_pad // LANES
+    y0_m = pad_tail(y0.T, 1).reshape(n_eq, r_total, LANES)
+    h0_m = pad_tail(h0[None, :], 1).reshape(1, r_total, LANES)
+    if params is not None:
+        p_stack = jnp.stack([jnp.asarray(params[k], jnp.float32) for k in param_fields])
+        p_m = pad_tail(p_stack, 1).reshape(len(param_fields), r_total, LANES)
+    else:
+        p_m = jnp.zeros((1, r_total, LANES), jnp.float32)
+    if forc_data is not None:
+        f_m = pad_tail(forc_data, 1).reshape(-1, r_total, LANES)
+    else:
+        f_m = jnp.zeros((1, r_total, LANES), jnp.float32)
+    qp = max(q_total, 1)
+    qt_m = jnp.zeros((1, qp), jnp.float32)
+    if q_total > 0:
+        qt_m = query_times[None, :]
+
+    kernel = _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, config)
+    row_map = lambda i: (0, i, 0)
+    in_specs = [
+        pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (qp, n_eq, tile_rows, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((3, r_total, LANES), jnp.int32),
+    ]
+
+    yf, dense, failed, stats = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(qt_m, qt_m, y0_m, h0_m, p_m, f_m)
+
+    yf = yf.reshape(n_eq, s_pad).T[:s_count]
+    dense_out = dense.reshape(qp, n_eq, s_pad).transpose(2, 0, 1)[:s_count]
+    if q_total == 0:
+        dense_out = dense_out[:, :0, :]
+    failed = failed.reshape(s_pad)[:s_count] > 0
+    stats = stats.reshape(3, s_pad)[:, :s_count]
+    return RadauResult(
+        y_final=yf,
+        dense=dense_out,
+        failed=failed,
+        stats=RadauStats(n_accepted=stats[0], n_rejected=stats[1], n_attempts=stats[2]),
+    )
