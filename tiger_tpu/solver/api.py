@@ -98,7 +98,51 @@ def solve(
     y_final, dense = rk.y_final, rk.dense
     failed = rk.failed
     radau_stats = None
-    if n_stiff > 0:
+
+    # Stiff-heavy accelerator runs: re-integrate the flagged subset with the
+    # fused Radau kernel ON DEVICE first; only its failures fall through to
+    # the CPU float64 pipeline below.  (For the usual handful of flagged
+    # lanes the device round-trip isn't worth it.)
+    if n_stiff >= 256 and use_pallas:
+        from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
+
+        idx0 = np.nonzero(stiff_mask)[0]
+        # Bucketed padding: subset sizes drift run to run, and every new shape
+        # would re-trigger a (minutes-long) Mosaic compile.
+        pad0 = np.concatenate(
+            [idx0, np.full(_bucket(len(idx0)) - len(idx0), idx0[0], idx0.dtype)]
+        )
+        gather0 = lambda a, ax=0: jnp.take(jnp.asarray(a), jnp.asarray(pad0), axis=ax)
+        forc0 = None
+        if forcings is not None:
+            forc0 = ForcingSet(data=gather0(forcings.data, 1), meta=forcings.meta)
+        rdk = radau_solve_pallas(
+            model,
+            gather0(y0),
+            t0,
+            tf,
+            query_times,
+            None if params is None else {k: gather0(v) for k, v in params.items()},
+            forc0,
+            h0=gather0(rk.h0),
+            config=config,
+        )
+        ok = ~np.asarray(rdk.failed)[: len(idx0)]
+        ok_rel = np.nonzero(ok)[0]
+        if len(ok_rel):
+            rows = jnp.asarray(idx0[ok_rel])
+            y_final = y_final.at[rows].set(rdk.y_final[ok_rel].astype(y0.dtype))
+            dense = dense.at[rows].set(rdk.dense[ok_rel].astype(y0.dtype))
+            failed = failed.at[rows].set(False)
+            radau_stats = rdk.stats
+        stiff_mask = np.zeros_like(stiff_mask)
+        stiff_mask[idx0[~ok]] = True
+        n_stiff_remaining = int(stiff_mask.sum())
+    else:
+        n_stiff_remaining = n_stiff
+
+    if n_stiff_remaining > 0:
+        n_stiff = n_stiff_remaining
         # The stiff pass runs on CPU in float64 when the RK phase ran on an
         # accelerator: the subset is small (it is host-compacted either way,
         # mirroring rk45_api.hpp:190-203), implicit steps want f64 Newton
@@ -219,5 +263,5 @@ def solve(
         failed=failed,
         rk_stats=rk.stats,
         radau_stats=radau_stats,
-        n_stiff=n_stiff,
+        n_stiff=int(np.asarray(rk.stiff).sum()),
     )
