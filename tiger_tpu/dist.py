@@ -55,9 +55,12 @@ def _pad_batch(arr, n_pad, axis=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "t0", "tf", "meta", "config", "mesh")
+    jax.jit,
+    static_argnames=("model", "t0", "tf", "meta", "config", "mesh", "backend"),
 )
-def _sharded_rk45(model, y0, t0, tf, qt, params, forc_data, meta, h0, config, mesh):
+def _sharded_rk45(
+    model, y0, t0, tf, qt, params, forc_data, meta, h0, config, mesh, backend="xla"
+):
     spec_b = P("systems")  # batch-major shards
     spec_forc = P(None, "systems")  # forcing is [T, S]
     in_specs = (
@@ -69,6 +72,20 @@ def _sharded_rk45(model, y0, t0, tf, qt, params, forc_data, meta, h0, config, me
     out_specs = jax.tree.map(lambda _: spec_b, _result_structure())
 
     def shard_body(y0_s, h0_s, params_s, forc_s):
+        if backend == "pallas":
+            # The fused kernel composes under shard_map: each shard runs its
+            # own grid of tiles on its chip (multi-chip pods).
+            from tiger_tpu.kernels.rk45_pallas import _pallas_pipeline
+
+            param_fields = ()
+            p_dict = None
+            if params_s is not None:
+                param_fields = tuple(sorted(params_s.keys()))
+                p_dict = params_s
+            return _pallas_pipeline(
+                model, y0_s, h0_s, p_dict, forc_s, qt,
+                t0, tf, meta, config, param_fields, False,
+            )
         return rk45_solve_traced(
             model, y0_s, t0, tf, qt, params_s, forc_s, meta, h0_s, config
         )
@@ -103,12 +120,15 @@ def rk45_solve_sharded(
     h0=None,
     config: SolverConfig = SolverConfig(),
     mesh: Optional[Mesh] = None,
+    backend: str = "xla",
 ) -> RK45Result:
     """RK45 over a device mesh: systems split evenly across devices.
 
     The batch is padded (edge-replicated rows) to a multiple of the mesh size
     and un-padded on return.  Stiff systems are still handled by the host
     two-phase pipeline (tiger_tpu.solver.api.solve) on the gathered flags.
+    ``backend='pallas'`` runs the fused kernel per shard (TPU pods); note the
+    per-shard batch is padded to the kernel tile size internally.
     """
     if mesh is None:
         mesh = systems_mesh()
@@ -132,7 +152,8 @@ def rk45_solve_sharded(
     qt = None if query_times is None else jnp.asarray(query_times, y0.dtype)
 
     res = _sharded_rk45(
-        model, y0p, float(t0), float(tf), qt, params_p, forc_data, meta, h0p, config, mesh
+        model, y0p, float(t0), float(tf), qt, params_p, forc_data, meta, h0p,
+        config, mesh, backend,
     )
     if n_pad:
         res = jax.tree.map(lambda a: a[:s_count], res)

@@ -87,8 +87,18 @@ def solve(
     elif mesh is not None:
         from tiger_tpu.dist import rk45_solve_sharded
 
+        shard_backend = "pallas" if (
+            backend == "pallas"
+            or (
+                backend == "auto"
+                and y0.dtype == jnp.float32
+                and jax.devices()[0].platform == "tpu"
+                and hasattr(model, "rhs_tuple")
+            )
+        ) else "xla"
         rk = rk45_solve_sharded(
-            model, y0, t0, tf, query_times, params, forcings, h0, config, mesh
+            model, y0, t0, tf, query_times, params, forcings, h0, config, mesh,
+            backend=shard_backend,
         )
     else:
         rk = rk45_solve(model, y0, t0, tf, query_times, params, forcings, h0, config)
