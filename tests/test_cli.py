@@ -69,6 +69,7 @@ output:
   print_interval: "1h"
   path: "{tmp_path}/out"
   prefix: basin
+  routed_discharge: true
 solver:
   method: RK45
   tolerances: {{rtol: 1.0e-6, atol: 1.0e-9, safety: 0.9, min_scale: 0.2, max_scale: 10.0}}
@@ -112,6 +113,13 @@ def test_cli_end_to_end(scenario):
         assert dense.shape == (scenario["n_sys"], 49, 5)
         # t=0 row is the cold-start state (fill_t0_queries default).
         np.testing.assert_allclose(dense[:, 0, :], [[0.01, 3.0, 0.0, 5.0, 0.2]] * 6)
+    with h5py.File(out / "discharge_basin_rank_0.nc") as f:
+        q = np.asarray(f["discharge"])
+        assert q.shape == (scenario["n_sys"], 49)
+        assert np.isfinite(q).all() and (q >= 0).all()
+        # The chain topology accumulates downstream: the outlet (last link)
+        # carries at least as much as any single upstream link.
+        assert np.all(q[-1, 1:] >= q[0, 1:] - 1e-12)
 
 
 def test_hot_restart_equivalence(scenario, tmp_path):

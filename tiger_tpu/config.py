@@ -82,6 +82,9 @@ class OutputInfo:
     prefix: str = "example"
     compression_level: int = 0
     format: str = "netcdf"  # "netcdf" | "csv"
+    # Also write the routed discharge hydrograph (downstream-accumulated link
+    # outflow over the next_stream topology) as discharge_<prefix>_rank_N.nc.
+    routed_discharge: bool = False
 
 
 @dataclasses.dataclass
@@ -180,6 +183,7 @@ def load_config(path: str) -> SimulationConfig:
             prefix=str(o.get("prefix", "example")),
             compression_level=int(o.get("compression_level", 0)),
             format=str(o.get("format", "netcdf")),
+            routed_discharge=bool(o.get("routed_discharge", False)),
         )
         parse_interval_minutes(cfg.output.print_interval)  # validate
     if s := doc.get("solver"):

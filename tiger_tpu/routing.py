@@ -101,6 +101,27 @@ def accumulate_downstream(q: jax.Array, next_idx: jax.Array, n_iters: int) -> ja
     return jax.lax.fori_loop(0, n_iters, body, q)
 
 
+def routed_discharge(
+    dense: jax.Array,  # [S, Q, N] dense state output
+    params,  # SoA dict with the Model-204 hydraulic fields
+    topo: Topology,
+) -> jax.Array:
+    """Routed hydrograph [S, Q]: downstream-accumulated link outflow at each
+    query time.
+
+    Combines link_runoff_204 (local outflow from the stores) with the
+    network accumulation — the discharge time series at every link that the
+    reference's never-implemented routing was meant to produce.
+    """
+    next_idx = jnp.asarray(topo.next_idx)
+
+    def per_time(y_slice):  # [S, N]
+        q = link_runoff_204(y_slice, params)
+        return accumulate_downstream(q, next_idx, topo.depth)
+
+    return jax.vmap(per_time, in_axes=1, out_axes=1)(dense)
+
+
 class ShardedTopology(NamedTuple):
     """Per-shard static routing plan (host-precomputed, stacked over shards).
 

@@ -161,6 +161,30 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
                 dense_path, dense, query_times, link_ids, state_ids,
                 cfg.output.compression_level,
             )
+        # Routed discharge hydrograph over the next_stream topology (the
+        # routing output the reference carries data for but never computes).
+        if cfg.output.routed_discharge:
+            from tiger_tpu import routing
+            from tiger_tpu.io.netcdf import NetCDFWriter
+
+            topo = routing.build_topology(sp["stream"], sp["next_stream"])
+            q_routed = np.asarray(
+                routing.routed_discharge(jnp.nan_to_num(res.dense), model_params, topo)
+            )
+            discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
+            with NetCDFWriter(discharge_path) as w:
+                w.def_dim("system", n_sys, np.asarray(link_ids, np.int32), np.int32)
+                w.def_dim("time", len(query_times), query_times, np.float64)
+                w.set_dim_attrs("system", {"long_name": "LinkID"})
+                w.set_dim_attrs(
+                    "time", {"units": "minutes since start of simulation"}
+                )
+                w.def_var(
+                    "discharge", q_routed.astype(np.float64), ("system", "time"),
+                    cfg.output.compression_level,
+                    attrs={"long_name": "routed downstream-accumulated outflow"},
+                )
+
         # Checkpoint for hot restart of the NEXT run.
         state_path = os.path.join(outdir, f"state_{prefix}_rank_{proc}.nc")
         ckpt.save_state(state_path, np.asarray(res.y_final), link_ids, tf)
