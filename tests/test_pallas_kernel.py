@@ -132,3 +132,31 @@ def test_no_queries_path():
         np.asarray(ker.y_final), np.asarray(ref.y_final), rtol=2e-5, atol=1e-7
     )
     assert ker.dense.shape == (32, 0, 5)
+
+
+def test_non_default_state_dimension():
+    # Kernel is generic over N_EQ (tuple-of-2D state); 2-equation model.
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class Osc2:
+        N_EQ: int = 2
+        UID: int = 96
+
+        def rhs_tuple(self, t, y, p, f=None):
+            return (y[1], -y[0] - 0.1 * y[1])
+
+        def rhs(self, t, y, p, f=None):
+            return jnp.stack(self.rhs_tuple(t, y, p, f))
+
+    y0 = jnp.tile(jnp.asarray([1.0, 0.0], jnp.float32), (40, 1))
+    h0 = jnp.full((40,), 0.01, jnp.float32)
+    qt = jnp.asarray([5.0, 10.0], jnp.float32)
+    ker = rk45_solve_pallas(Osc2(), y0, 0.0, 10.0, qt, h0=h0, config=CFG, interpret=True)
+    ref = rk45_solve(Osc2(), y0, 0.0, 10.0, qt, h0=h0, config=CFG)
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final), np.asarray(ref.y_final), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.dense), np.asarray(ref.dense), rtol=1e-4, atol=1e-6
+    )
