@@ -73,7 +73,16 @@ def main() -> None:
         checksum = float(jnp.nansum(res.y_final))
         return res, checksum
 
-    res, _ = solve_once(0.0)  # compile + warmup
+    # Warmup/compile, with one retry: a previous process dying mid-claim can
+    # leave the (tunneled) TPU wedged for one execution.
+    import sys
+
+    try:
+        res, _ = solve_once(0.0)
+    except Exception as exc:  # noqa: BLE001 — transient device errors
+        print(f"warmup failed ({exc}); retrying once", file=sys.stderr)
+        time.sleep(30)
+        res, _ = solve_once(0.0)
     walls, sums = [], []
     for i in range(1, 4):
         t0 = time.perf_counter()
@@ -82,7 +91,7 @@ def main() -> None:
         sums.append(s)
     wall = float(np.median(walls))
     if len(set(sums)) == 1:
-        print('{"warning": "identical checksums across perturbed runs"}')
+        print("warning: identical checksums across perturbed runs", file=sys.stderr)
 
     n_attempts = int(np.asarray(res.stats.n_attempts).sum())
     value = n_attempts / wall
