@@ -66,6 +66,34 @@ def solve(
     order-of-magnitude faster; XLA/vmap otherwise), 'pallas', or 'xla'.
     """
     y0 = jnp.asarray(y0)
+    if y0.ndim != 2:
+        raise ValueError(f"y0 must be [num_systems, N_EQ]; got shape {y0.shape}")
+    s_count, n_eq = y0.shape
+    if getattr(model, "N_EQ", n_eq) != n_eq:
+        raise ValueError(
+            f"y0 has {n_eq} state variables but {type(model).__name__} expects "
+            f"{model.N_EQ}"
+        )
+    if params is not None:
+        for k, v in params.items():
+            if np.shape(v)[0] != s_count:
+                raise ValueError(
+                    f"params[{k!r}] has {np.shape(v)[0]} rows; expected "
+                    f"{s_count} (one per system)"
+                )
+    if forcings is not None and forcings.num_systems != s_count:
+        raise ValueError(
+            f"forcings cover {forcings.num_systems} systems; expected {s_count}"
+        )
+    if query_times is not None:
+        qt_check = np.asarray(query_times)
+        if qt_check.ndim != 1 or (len(qt_check) > 1 and (np.diff(qt_check) < 0).any()):
+            raise ValueError("query_times must be a 1-D ascending array")
+    if not (float(tf) > float(t0)):
+        raise ValueError(f"tf ({tf}) must be greater than t0 ({t0})")
+    if backend not in ("auto", "pallas", "xla"):
+        raise ValueError(f"backend must be auto|pallas|xla, got {backend!r}")
+
     h0 = initial_step(model, y0, t0, params, forcings, config)
     use_pallas = backend == "pallas" or (
         backend == "auto"
