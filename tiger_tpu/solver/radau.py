@@ -128,6 +128,7 @@ class _Carry(NamedTuple):
     h: jax.Array
     y: jax.Array
     next_q: jax.Array
+    next_qt: jax.Array  # cached qt[next_q] (see rk45.fill_dense_queries)
     reject: jax.Array  # consecutive rejections (bail-out; no reference analog)
     n_acc: jax.Array
     n_rej: jax.Array
@@ -153,6 +154,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         h=jnp.asarray(h0, dtype),
         y=y0,
         next_q=jnp.zeros((), i32),
+        next_qt=(qt[0] if q_total > 0 else jnp.asarray(jnp.inf, dtype)),
         reject=jnp.zeros((), i32),
         n_acc=jnp.zeros((), i32),
         n_rej=jnp.zeros((), i32),
@@ -179,11 +181,11 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 
         if q_total > 0:
             dense_eval = lambda th: radau_dense(c.y, z, h_eff, th)
-            dense, next_q = fill_dense_queries(
-                cfg, qt, c.dense, c.next_q, c.t, h_eff, dense_eval, accept
+            dense, next_q, next_qt = fill_dense_queries(
+                cfg, qt, c.dense, c.next_q, c.next_qt, c.t, h_eff, dense_eval, accept
             )
         else:
-            dense, next_q = c.dense, c.next_q
+            dense, next_q, next_qt = c.dense, c.next_q, c.next_qt
 
         # Step-control exponent: 1/(est_order + 1).  'reference' uses the
         # reference's 1/5 (radau_kernel.cu:123); 'embedded3' pairs 1/3 with
@@ -200,6 +202,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             h=h_new,
             y=jnp.where(accept, y_next, c.y),
             next_q=next_q,
+            next_qt=next_qt,
             reject=jnp.where(accept, 0, c.reject + 1),
             n_acc=c.n_acc + accept.astype(i32),
             n_rej=c.n_rej + (~accept).astype(i32),

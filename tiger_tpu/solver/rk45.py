@@ -109,6 +109,8 @@ class _Carry(NamedTuple):
     h: jax.Array
     y: jax.Array
     next_q: jax.Array
+    next_qt: jax.Array  # cached qt[next_q] (inf past the end): lets the
+    #                     common nothing-to-fill case skip all gathers
     reject: jax.Array
     stiff: jax.Array
     n_acc: jax.Array
@@ -117,7 +119,7 @@ class _Carry(NamedTuple):
     dense: jax.Array
 
 
-def fill_dense_queries(cfg, qt, dense, next_q, t, h, dense_eval, active):
+def fill_dense_queries(cfg, qt, dense, next_q, next_qt, t, h, dense_eval, active):
     """Consume all sorted queries in (t, t+h], chunked ``cfg.dense_chunk`` wide.
 
     Per-system monotone cursor (rk45_kernel.cu:138-148); queries exactly at the
@@ -126,6 +128,12 @@ def fill_dense_queries(cfg, qt, dense, next_q, t, h, dense_eval, active):
     fill so rejected/slope-cut attempts write nothing.  ``dense_eval(theta)``
     maps a [W] vector of step fractions to interpolated states [W, N] — shared
     by the RK45 (DP quartic) and Radau (collocation) phases.
+
+    ``next_qt`` is the CACHED value of qt[next_q] (inf past the end), carried
+    by the solver so the no-fill fast path — the overwhelmingly common case,
+    steps being much shorter than the query spacing — is a single elementwise
+    compare with no per-lane gather (gathers under vmap dominate the
+    batched solvers' runtime otherwise).  Returns (dense, next_q, next_qt).
     """
     q_total = qt.shape[0]
     w = cfg.dense_chunk
@@ -136,11 +144,11 @@ def fill_dense_queries(cfg, qt, dense, next_q, t, h, dense_eval, active):
         return jnp.where(q < q_total, qt[jnp.clip(q, 0, q_total - 1)], jnp.inf)
 
     def cond(state):
-        _, q = state
-        return active & (q < q_total) & (q_time(q) <= t1)
+        _, _, nqt = state
+        return active & (nqt <= t1)
 
     def body(state):
-        d, q = state
+        d, q, _ = state
         idxs = q + jnp.arange(w, dtype=i32)
         tq = jnp.where(idxs < q_total, qt[jnp.clip(idxs, 0, q_total - 1)], jnp.inf)
         in_window = tq <= t1
@@ -151,9 +159,9 @@ def fill_dense_queries(cfg, qt, dense, next_q, t, h, dense_eval, active):
         vals = jnp.where(valid[:, None], yd, old)
         d = d.at[idxs].set(vals, mode="drop")
         q = q + jnp.sum(in_window, dtype=q.dtype)
-        return d, q
+        return d, q, q_time(q)
 
-    return lax.while_loop(cond, body, (dense, next_q))
+    return lax.while_loop(cond, body, (dense, next_q, next_qt))
 
 
 def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
@@ -180,6 +188,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         h=jnp.asarray(h0, dtype),
         y=y0,
         next_q=jnp.zeros((), i32),
+        next_qt=(qt[0] if q_total > 0 else jnp.asarray(jnp.inf, dtype)),
         reject=jnp.zeros((), i32),
         stiff=jnp.zeros((), bool),
         n_acc=jnp.zeros((), i32),
@@ -208,11 +217,11 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 
         if q_total > 0:
             dense_eval = lambda th: dp_dense(c.y, k, h_eff, th)
-            dense, next_q = fill_dense_queries(
-                cfg, qt, c.dense, c.next_q, c.t, h_eff, dense_eval, advance
+            dense, next_q, next_qt = fill_dense_queries(
+                cfg, qt, c.dense, c.next_q, c.next_qt, c.t, h_eff, dense_eval, advance
             )
         else:
-            dense, next_q = c.dense, c.next_q
+            dense, next_q, next_qt = c.dense, c.next_q, c.next_qt
 
         raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
         fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
@@ -236,6 +245,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             h=h_new,
             y=jnp.where(advance, y_next, c.y),
             next_q=next_q,
+            next_qt=next_qt,
             reject=reject_new,
             stiff=c.stiff | stiff_new,
             n_acc=c.n_acc + advance.astype(i32),
