@@ -16,7 +16,7 @@ decimals and values at 9 significant digits.  (Dummy-era artifacts capitalize
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

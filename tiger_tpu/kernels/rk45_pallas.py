@@ -47,7 +47,7 @@ from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.rk45 import RK45Result, RKStats
 
 LANES = 128
-MAX_TILE_ROWS = 32  # tile systems = rows * 128; 32 rows = 4096 systems/tile
+# Tile sizes considered by _pick_tile_rows: 32 rows = 4096 systems/tile max.
 _VMEM_BUDGET = 10 * 2**20  # leave headroom under the ~16 MB/core VMEM
 
 
