@@ -84,19 +84,24 @@ class _Carry(NamedTuple):
     n_att: jax.Array
 
 
-def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype):
+def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=None):
     """ZOH gather for every lane: tuple of (R, 128) forcing values at time t.
 
     Lanes in a tile sit at similar times, so instead of scanning all n_t time
     steps we loop only over the tile's live index window [min(idx), max(idx)]
     — almost always 1-2 iterations (adaptive steps are minutes, forcing steps
-    are hours).
+    are hours).  Callers that already reduced the tile's t-range pass
+    ``t_min``/``t_max`` so each forcing derives its window arithmetically
+    instead of re-reducing.
     """
+    if t_min is None:
+        t_min = jnp.min(t)
+        t_max = jnp.max(t)
     vals = []
     for off, n_t, dt in zip(meta.offsets, meta.n_steps, meta.dt_min):
         idx = jnp.clip((t / dt).astype(jnp.int32), 0, n_t - 1)
-        k_lo = jnp.min(idx)
-        k_hi = jnp.max(idx)
+        k_lo = jnp.clip((t_min / dt).astype(jnp.int32), 0, n_t - 1)
+        k_hi = jnp.clip((t_max / dt).astype(jnp.int32), 0, n_t - 1)
 
         def body(k, acc):
             row = forc_ref[off + k]  # (R, 128) float32
