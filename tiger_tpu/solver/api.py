@@ -131,8 +131,11 @@ def solve(
     else:
         rk = rk45_solve(model, y0, t0, tf, query_times, params, forcings, h0, config)
 
-    stiff_mask = np.asarray(rk.stiff)
-    n_stiff = int(stiff_mask.sum())
+    # Count flags on device first: pulling the full [S] mask costs a
+    # device->host transfer that is pure waste in the common no-stiff case.
+    n_stiff = int(jnp.sum(rk.stiff))
+    n_stiff_flagged = n_stiff
+    stiff_mask = np.asarray(rk.stiff) if n_stiff else np.zeros(s_count, bool)
     y_final, dense = rk.y_final, rk.dense
     failed = rk.failed
     radau_stats = None
@@ -301,5 +304,5 @@ def solve(
         failed=failed,
         rk_stats=rk.stats,
         radau_stats=radau_stats,
-        n_stiff=int(np.asarray(rk.stiff).sum()),
+        n_stiff=n_stiff_flagged,
     )

@@ -16,6 +16,8 @@ actual initial state (vectorized — an intended improvement, SURVEY.md 7).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +35,37 @@ def _estimate(model, t0, y0_row, p_row, f_vals, rtol, atol):
     return jnp.maximum(_H_FLOOR, 0.01 * d0 / (d1 + 1e-16))
 
 
+@functools.partial(jax.jit, static_argnames=("model", "t0", "meta", "config"))
+def _initial_step_impl(model, y0, t0, params, forc_data, meta, config):
+    s_count = y0.shape[0]
+    dtype = y0.dtype
+
+    if config.h0_mode == "global-zero-y0":
+        # Reference parity: zero state for "system 0".  (The reference also
+        # feeds a nonsensical forcing slice here — first two entries of the
+        # packed array, main.cpp:622 — but with y0 = 0 the result is the 1e-6
+        # floor regardless, so we use the proper t0 forcings of system 0.)
+        zero = jnp.zeros_like(y0[0])
+        p_row = None if params is None else jax.tree.map(lambda a: a[0], params)
+        f_vals = None
+        if forc_data is not None:
+            f_vals = gather_forcings_column(
+                forc_data[:, 0], meta, jnp.asarray(t0, dtype)
+            )
+        h = _estimate(model, t0, zero, p_row, f_vals, config.rtol, config.atol)
+        return jnp.full((s_count,), h, dtype)
+
+    # per-system
+    def one(y0_row, p_row, forc_col):
+        f_vals = None
+        if forc_col is not None:
+            f_vals = gather_forcings_column(forc_col, meta, jnp.asarray(t0, dtype))
+        return _estimate(model, t0, y0_row, p_row, f_vals, config.rtol, config.atol)
+
+    in_axes = (0, None if params is None else 0, None if forc_data is None else 1)
+    return jax.vmap(one, in_axes=in_axes)(y0, params, forc_data)
+
+
 def initial_step(
     model,
     y0: jax.Array,
@@ -45,34 +78,11 @@ def initial_step(
 
     ``config.initial_step`` (explicit scalar) wins; otherwise ``h0_mode``
     selects the reference-parity global estimate or the per-system one.
+    Jitted internally (eager dispatch costs several device round trips per
+    call on remote-attached accelerators).
     """
-    s_count = y0.shape[0]
-    dtype = y0.dtype
     if config.initial_step is not None:
-        return jnp.full((s_count,), config.initial_step, dtype)
-
-    if config.h0_mode == "global-zero-y0":
-        # Reference parity: zero state for "system 0".  (The reference also
-        # feeds a nonsensical forcing slice here — first two entries of the
-        # packed array, main.cpp:622 — but with y0 = 0 the result is the 1e-6
-        # floor regardless, so we use the proper t0 forcings of system 0.)
-        zero = jnp.zeros_like(y0[0])
-        p_row = None if params is None else jax.tree.map(lambda a: a[0], params)
-        f_vals = None
-        if forcings is not None:
-            f_vals = gather_forcings_column(
-                forcings.data[:, 0], forcings.meta, jnp.asarray(t0, dtype)
-            )
-        h = _estimate(model, t0, zero, p_row, f_vals, config.rtol, config.atol)
-        return jnp.full((s_count,), h, dtype)
-
-    # per-system
-    def one(y0_row, p_row, forc_col):
-        f_vals = None
-        if forc_col is not None:
-            f_vals = gather_forcings_column(forc_col, forcings.meta, jnp.asarray(t0, dtype))
-        return _estimate(model, t0, y0_row, p_row, f_vals, config.rtol, config.atol)
-
-    in_axes = (0, None if params is None else 0, None if forcings is None else 1)
+        return jnp.full((y0.shape[0],), config.initial_step, y0.dtype)
     forc_data = None if forcings is None else forcings.data
-    return jax.vmap(one, in_axes=in_axes)(y0, params, forc_data)
+    meta = None if forcings is None else forcings.meta
+    return _initial_step_impl(model, y0, float(t0), params, forc_data, meta, config)
