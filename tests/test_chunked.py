@@ -84,3 +84,33 @@ def test_netcdf_window_loader(tmp_path, scenario):
 
     with pytest.raises(ValueError, match="not aligned"):
         loader(30.0, 1470.0)
+
+
+def test_chunked_with_routing_overlap(scenario):
+    from tiger_tpu import routing
+
+    pr, t2m, params, y0 = scenario
+    n_sys = pr.shape[1]
+    stream = np.arange(1, n_sys + 1)
+    nxt = np.concatenate([stream[1:], [-1]])
+    topo = routing.build_topology(stream, nxt)
+    tf = 2 * 1440.0
+
+    def load_window(w_start, w_end):
+        k = int(w_start // 60)
+        kt = int(w_start // 1440)
+        return ForcingSet.from_series(
+            [pr[k : int(np.ceil(w_end / 60))], t2m[kt : int(np.ceil(w_end / 1440))]],
+            [60.0, 1440.0],
+        )
+
+    res, routed = solve_chunked(
+        Model204(), y0, 0.0, tf, chunk_minutes=1440.0,
+        load_window=load_window, query_interval=360.0, params=params,
+        topology=topo,
+    )
+    assert routed.shape == (n_sys, res.dense.shape[1])
+    ref = np.asarray(routing.routed_discharge(jnp.nan_to_num(res.dense), params, topo))
+    np.testing.assert_allclose(np.asarray(routed), ref, rtol=1e-12)
+    # Accumulation property: the outlet carries the basin total.
+    assert np.all(np.asarray(routed)[-1, 1:] >= np.asarray(routed)[0, 1:] - 1e-12)

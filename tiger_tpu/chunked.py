@@ -49,13 +49,21 @@ def solve_chunked(
     config: SolverConfig = SolverConfig(),
     mesh=None,
     backend: str = "auto",
-) -> SolveResult:
+    topology=None,
+):
     """Integrate [t0, tf] in windows of ``chunk_minutes``.
 
     ``load_window(w_start, w_end)`` returns the ForcingSet covering that
     absolute window (its block index 0 must correspond to time ``w_start``),
     or None for unforced runs.  ``query_interval`` (minutes) produces dense
     output exactly like an unchunked run with queries every interval.
+
+    With ``topology`` (a routing.Topology), the downstream-routing exchange
+    for window k is dispatched right after its solve and left UNBLOCKED —
+    JAX's async dispatch overlaps it with the host-side forcing load and the
+    solve of window k+1 (the BASELINE north-star "routing exchange overlapped
+    with step compute").  Returns (SolveResult, routed [S, Q]) in that case,
+    else just the SolveResult.
     """
     if chunk_minutes <= 0:
         raise ValueError("chunk_minutes must be positive")
@@ -65,6 +73,7 @@ def solve_chunked(
     s_count, n_eq = y.shape
     all_dense = []
     all_qt = []
+    all_routed = []
     stiff_any = jnp.zeros((s_count,), bool)
     failed_any = jnp.zeros((s_count,), bool)
     n_stiff_total = 0
@@ -102,6 +111,15 @@ def solve_chunked(
         y = jnp.where(jnp.isnan(res.y_final), y, res.y_final)
         if qt is not None:
             all_dense.append(res.dense)
+            if topology is not None:
+                # Dispatch the routing exchange for THIS window now; do not
+                # block — it executes while the next window's forcing loads
+                # and its solve is traced/dispatched.
+                from tiger_tpu.routing import routed_discharge
+
+                all_routed.append(
+                    routed_discharge(jnp.nan_to_num(res.dense), params, topology)
+                )
         stiff_any = stiff_any | res.stiff
         failed_any = failed_any | res.failed
         n_stiff_total += res.n_stiff
@@ -114,7 +132,7 @@ def solve_chunked(
         if all_dense
         else jnp.zeros((s_count, 0, n_eq), y.dtype)
     )
-    return SolveResult(
+    result = SolveResult(
         y_final=y,
         dense=dense,
         stiff=stiff_any,
@@ -123,6 +141,14 @@ def solve_chunked(
         radau_stats=None,
         n_stiff=n_stiff_total,
     )
+    if topology is not None:
+        routed = (
+            jnp.concatenate(all_routed, axis=1)
+            if all_routed
+            else jnp.zeros((s_count, 0), y.dtype)
+        )
+        return result, routed
+    return result
 
 
 def netcdf_window_loader(
