@@ -28,6 +28,8 @@ def main() -> None:
     p.add_argument("--per-shard", type=int, default=4096)
     p.add_argument("--days", type=float, default=0.5)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--backend", default="xla", choices=["xla", "pallas"],
+                   help="pallas = fused kernel per shard (TPU)")
     args = p.parse_args()
 
     if args.cpu:
@@ -56,7 +58,7 @@ def main() -> None:
         def once(eps):
             res = rk45_solve_sharded(
                 Model204(), y0 + eps, 0.0, tf, None, params, forcings,
-                h0=h0, config=config, mesh=mesh,
+                h0=h0, config=config, mesh=mesh, backend=args.backend,
             )
             float(jnp.nansum(res.y_final))
             return res
