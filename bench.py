@@ -37,6 +37,12 @@ def main() -> None:
         choices=["pallas", "xla"],
         help="pallas = fused kernel (default); xla = vmap reference path",
     )
+    p.add_argument(
+        "--solver",
+        default="rk45",
+        choices=["rk45", "radau"],
+        help="radau benches the fused implicit kernel instead",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -50,9 +56,13 @@ def main() -> None:
     from tiger_tpu.models import Model204
     from tiger_tpu.solver.config import SolverConfig
     from tiger_tpu.solver.rk45 import rk45_solve
+    from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
     from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
 
-    solver_fn = rk45_solve_pallas if args.backend == "pallas" and not args.cpu else rk45_solve
+    if args.solver == "radau":
+        solver_fn = radau_solve_pallas
+    else:
+        solver_fn = rk45_solve_pallas if args.backend == "pallas" and not args.cpu else rk45_solve
 
     dtype = jnp.float32
     s_count = args.systems
@@ -95,7 +105,7 @@ def main() -> None:
 
     n_attempts = int(np.asarray(res.stats.n_attempts).sum())
     value = n_attempts / wall
-    n_stiff = int(np.asarray(res.stiff).sum())
+    n_stiff = int(np.asarray(getattr(res, "stiff", getattr(res, "failed"))).sum())
 
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
     baseline = None
@@ -104,7 +114,7 @@ def main() -> None:
             baseline = json.load(f).get("value")
     vs = (value / baseline) if baseline else 1.0
 
-    if args.record:
+    if args.record and args.solver == "rk45":  # the recorded baseline is the RK45 metric
         with open(baseline_path, "w") as f:
             json.dump(
                 {
@@ -120,7 +130,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "model204_system_steps_per_s",
+                "metric": f"model204_{args.solver}_system_steps_per_s" if args.solver != "rk45" else "model204_system_steps_per_s",
                 "value": value,
                 "unit": "system-steps/s",
                 "vs_baseline": vs,
@@ -129,7 +139,11 @@ def main() -> None:
                 "wall_s": wall,
                 "n_stiff": n_stiff,
                 "backend": jax.devices()[0].platform,
-                "solver": "pallas" if solver_fn is rk45_solve_pallas else "xla-vmap",
+                "solver": (
+                    "radau-pallas"
+                    if args.solver == "radau"
+                    else ("pallas" if solver_fn is rk45_solve_pallas else "xla-vmap")
+                ),
             }
         )
     )

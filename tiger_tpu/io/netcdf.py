@@ -24,29 +24,47 @@ _DIM_ANON = "This is a netCDF dimension but not a netCDF variable."
 
 
 class NetCDFReader:
-    """Windowed reader for one gridded variable of a NETCDF4 file.
+    """Windowed reader for one gridded variable of a NetCDF file.
 
     Equivalent of the reference NetCDFLoader (forcing_loader.cpp:76-218):
-    assumes dims ordered (time, lat, lon) for 3-D variables.
+    assumes dims ordered (time, lat, lon) for 3-D variables.  NETCDF4 (HDF5)
+    files read through h5py; classic NetCDF3 (CDF-1/2 magic) through a
+    memory-mapped scipy reader — both give windowed time reads without
+    loading the whole record.
     """
 
     def __init__(self, path: str, var_name: str):
-        self._f = h5py.File(path, "r")
-        if var_name not in self._f:
-            self._f.close()
-            raise KeyError(f"Variable {var_name!r} not found in {path}")
-        self._var = self._f[var_name]
-        if self._var.ndim != 3:
+        with open(path, "rb") as fh:
+            magic = fh.read(4)
+        self._classic = magic[:3] == b"CDF"
+        if self._classic:
+            from scipy.io import netcdf_file
+
+            self._f = netcdf_file(path, "r", mmap=True)
+            if var_name not in self._f.variables:
+                raise KeyError(f"Variable {var_name!r} not found in {path}")
+            self._var = self._f.variables[var_name]
+            shape = self._var.shape
+        else:
+            self._f = h5py.File(path, "r")
+            if var_name not in self._f:
+                self._f.close()
+                raise KeyError(f"Variable {var_name!r} not found in {path}")
+            self._var = self._f[var_name]
+            shape = self._var.shape
+        if len(shape) != 3:
             raise ValueError(
-                f"Expected 3D variable (time, lat, lon), got {self._var.ndim}D"
+                f"Expected 3D variable (time, lat, lon), got {len(shape)}D"
             )
-        self.time_size, self.lat_size, self.lon_size = self._var.shape
+        self.time_size, self.lat_size, self.lon_size = shape
         self.path, self.var_name = path, var_name
 
     def load_time_chunk(self, start: int, count: int) -> np.ndarray:
         """Read ``count`` time slices from ``start`` -> float32 [count, lat, lon].
 
         Bounds semantics match loadTimeChunk (forcing_loader.cpp:164-196).
+        Applies CF packing (``scale_factor``/``add_offset``) when present —
+        distributed ERA5 files are typically int16-packed.
         """
         if count <= 0:
             raise ValueError("Size of time chunk must be greater than zero")
@@ -54,9 +72,32 @@ class NetCDFReader:
             raise IndexError("Start time index out of range")
         if start + count > self.time_size:
             raise IndexError("Requested time steps exceed available data")
-        return np.asarray(self._var[start : start + count], np.float32)
+        raw = np.array(self._var[start : start + count])
+        attrs = self.attrs()
+
+        def scalar(key):
+            v = attrs.get(key)
+            if v is None:
+                return None
+            v = np.asarray(v).reshape(-1)[0]
+            return float(v)
+
+        scale = scalar("scale_factor")
+        offset = scalar("add_offset")
+        if scale is not None or offset is not None:
+            out = raw.astype(np.float64)
+            fill = attrs.get("_FillValue", attrs.get("missing_value"))
+            if fill is not None:
+                out[raw == np.asarray(fill).reshape(-1)[0]] = np.nan
+            out = out * (scale if scale is not None else 1.0) + (
+                offset if offset is not None else 0.0
+            )
+            return out.astype(np.float32)
+        return raw.astype(np.float32)
 
     def attrs(self) -> dict:
+        if self._classic:
+            return dict(getattr(self._var, "_attributes", {}))
         return {k: v for k, v in self._var.attrs.items() if not k.startswith("_Netcdf")}
 
     def close(self):
