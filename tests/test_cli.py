@@ -159,3 +159,17 @@ def test_hot_restart_equivalence(scenario, tmp_path):
         # Hot start: t=0 dense row equals day-1 final state.
         np.testing.assert_allclose(np.asarray(f["outputs"])[:, 0, :], day1_state)
     assert full["num_systems"] == a["num_systems"] == b["num_systems"]
+
+
+def test_f32_tight_tolerance_warns(scenario):
+    import warnings
+
+    text = scenario["cfg_path"].read_text().replace(
+        "initial_step: null", "initial_step: null\n  precision: f32"
+    )
+    path = scenario["tmp_path"] / "f32.yaml"
+    path.write_text(text)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        load_config(str(path))
+    assert any("float32 rounding" in str(w.message) for w in caught)

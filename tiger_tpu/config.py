@@ -200,6 +200,16 @@ def load_config(path: str) -> SimulationConfig:
         )
         if cfg.solver.precision not in ("f64", "f32"):
             raise ValueError(f"solver.precision must be f64|f32, got {cfg.solver.precision}")
+        if cfg.solver.precision == "f32" and cfg.solver.rtol < 5e-6:
+            import warnings
+
+            warnings.warn(
+                f"solver.precision f32 with rtol={cfg.solver.rtol:g}: tolerances "
+                "below ~1e-5 are at float32 rounding level — steps will reject "
+                "on noise and systems get flagged stiff.  Raise rtol (>=1e-5) "
+                "or use precision f64.",
+                stacklevel=2,
+            )
     if p := doc.get("mpi") or doc.get("parallel"):
         cfg.parallel = ParallelInfo(
             step_storage=int(p.get("step_storage", 30)),
