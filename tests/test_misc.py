@@ -69,3 +69,20 @@ def test_metrics_counters():
     assert s["system_steps_per_s"] > 0
     assert s["n_stiff"] == 0
     json.loads(m.dump())  # serializable
+
+
+def test_reference_parity_preset():
+    cfg = SolverConfig.reference_parity()
+    assert cfg.h0_mode == "global-zero-y0"
+    assert cfg.fill_t0_queries is False
+    assert cfg.nan_shrink == 1.0
+    assert cfg.max_rejects == 5
+    assert cfg.radau_error_mode == "reference"
+    # Overrides compose.
+    cfg2 = SolverConfig.reference_parity(rtol=1e-4)
+    assert cfg2.rtol == 1e-4 and cfg2.max_rejects == 5
+    # Parity h0 for Model 204 is the 1e-6 floor (every committed artifact).
+    params = {k: jnp.full((2,), v) for k, v in NB_PARAMS.items()}
+    y0 = jnp.tile(jnp.asarray(Y0_COMMON), (2, 1))
+    h0 = initial_step(Model204(), y0, 0.0, params, None, cfg)
+    np.testing.assert_allclose(np.asarray(h0), 1e-6)

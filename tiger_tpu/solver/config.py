@@ -82,6 +82,26 @@ class SolverConfig:
     # t=0 row is all zeros.
     fill_t0_queries: bool = True
 
+    @classmethod
+    def reference_parity(cls, **overrides) -> "SolverConfig":
+        """Every behavioral-parity switch set to the reference's value.
+
+        Reproduces the CUDA reference's step-for-step behavior (pair with
+        ``Model204(safe_pow=False)`` for the NaN-propagating Manning term):
+        zero-state global h0, zeros for t<=t0 dense rows, retry-at-same-h on
+        NaN errors, the trigger-happy 5-reject stiffness streak, and the
+        inconsistent Radau embedded weights.  See README's parity table.
+        """
+        base = dict(
+            h0_mode="global-zero-y0",
+            fill_t0_queries=False,
+            nan_shrink=1.0,
+            max_rejects=5,
+            radau_error_mode="reference",
+        )
+        base.update(overrides)
+        return cls(**base)
+
     def __post_init__(self):
         if self.h0_mode not in ("per-system", "global-zero-y0"):
             raise ValueError(f"unknown h0_mode: {self.h0_mode}")
