@@ -86,3 +86,14 @@ def test_reference_parity_preset():
     y0 = jnp.tile(jnp.asarray(Y0_COMMON), (2, 1))
     h0 = initial_step(Model204(), y0, 0.0, params, None, cfg)
     np.testing.assert_allclose(np.asarray(h0), 1e-6)
+
+
+def test_bench_baseline_record_sane():
+    # The committed benchmark record must stay parseable and plausible; the
+    # driver compares its round-end run against it.
+    import json, pathlib
+
+    rec = json.loads(pathlib.Path("bench_baseline.json").read_text())
+    assert rec["unit"] == "system-steps/s"
+    assert rec["value"] > 1e6
+    assert rec["systems"] >= 1024
