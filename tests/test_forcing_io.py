@@ -147,3 +147,27 @@ def test_dense_csv_format(tmp_path):
     fpath = str(tmp_path / "f.csv")
     write_final_csv(fpath, np.array([[1.0, 2.0, 3.0, 4.0, 5.0]]))
     assert open(fpath).read().splitlines()[0] == "h_snow,var1,var2,var3,var4"
+
+
+@pytest.mark.parity
+def test_csv_format_matches_204_artifacts(tmp_path, reference_dir):
+    """Our legacy CSV writers reproduce the committed artifacts' exact
+    header and number-formatting conventions (main.cpp:734-773)."""
+    from tiger_tpu.io import write_dense_csv, write_final_csv
+
+    ref_dense = (reference_dir / "src" / "dense_204_a.csv").read_text().splitlines()
+    ref_final = (reference_dir / "src" / "final_204_a.csv").read_text().splitlines()
+
+    dense = np.zeros((5, 2, 5))
+    dense[0, 1] = [7.960133076, 177.016677674, 14.936870986, 4.898862287, 0.201160199]
+    write_dense_csv(str(tmp_path / "d.csv"), dense, np.array([0.0, 60.0]))
+    ours = (tmp_path / "d.csv").read_text().splitlines()
+    assert ours[0] == ref_dense[0]  # header: time,var0_sys0,...
+    # Formatting: fixed-8-decimal time, 9-significant-digit values.
+    assert ours[1].split(",")[0] == "0.00000000"
+    assert ours[2].split(",")[0] == "60.00000000"
+    assert ours[2].split(",")[1] == "7.96013308"[:10]  # 9 sig digits
+
+    write_final_csv(str(tmp_path / "f.csv"), np.zeros((2, 5)))
+    ours_f = (tmp_path / "f.csv").read_text().splitlines()
+    assert ours_f[0] == ref_final[0]  # h_snow,var1,var2,var3,var4
