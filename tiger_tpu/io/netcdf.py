@@ -101,7 +101,19 @@ class NetCDFReader:
         return {k: v for k, v in self._var.attrs.items() if not k.startswith("_Netcdf")}
 
     def close(self):
-        self._f.close()
+        if self._classic:
+            # Every chunk we hand out is np.array-copied, so the mmap can go;
+            # scipy still warns because variable objects reference it — drop
+            # them and silence that specific warning.
+            import warnings
+
+            self._var = None
+            self._f.variables = {}
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                self._f.close()
+        else:
+            self._f.close()
 
     def __enter__(self):
         return self
