@@ -114,3 +114,37 @@ def test_chunked_with_routing_overlap(scenario):
     np.testing.assert_allclose(np.asarray(routed), ref, rtol=1e-12)
     # Accumulation property: the outlet carries the basin total.
     assert np.all(np.asarray(routed)[-1, 1:] >= np.asarray(routed)[0, 1:] - 1e-12)
+
+
+def test_chunked_queries_survive_misaligned_interval():
+    # chunk_minutes=100 is NOT a multiple of query_interval=30: every multiple
+    # of 30 in [0, 200] must still appear exactly once (the round-1 code
+    # dropped t=120, the first query inside window [100, 200]).
+    from tiger_tpu.models import DummyModel
+
+    y0 = jnp.ones((2, 5))
+    res = solve_chunked(
+        DummyModel(), y0, 0.0, 200.0, chunk_minutes=100.0,
+        load_window=lambda a, b: None, query_interval=30.0,
+        config=SolverConfig(rtol=1e-6, atol=1e-9),
+    )
+    assert res.dense.shape[1] == 7  # t = 0, 30, 60, 90, 120, 150, 180
+
+    ref = solve(DummyModel(), y0, 0.0, 200.0, jnp.arange(0.0, 200.0, 30.0),
+                config=SolverConfig(rtol=1e-6, atol=1e-9))
+    np.testing.assert_allclose(
+        np.asarray(res.dense), np.asarray(ref.dense), rtol=1e-4, atol=1e-8
+    )
+
+
+def test_chunked_rejects_misaligned_forcing_dt(scenario):
+    pr, t2m, params, y0 = scenario
+
+    def load_window(w_start, w_end):
+        return ForcingSet.from_series([pr[:24]], [60.0])
+
+    with pytest.raises(ValueError, match="not a multiple of"):
+        solve_chunked(
+            Model204(), y0, 0.0, 2880.0, chunk_minutes=90.0,
+            load_window=load_window, params=params,
+        )

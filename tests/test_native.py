@@ -66,3 +66,17 @@ def test_params_loader_uses_native_and_agrees():
     p_numpy = pm.from_columns(cols)
     for k in p_native:
         np.testing.assert_allclose(p_native[k], p_numpy[k], rtol=1e-12)
+
+
+def test_csv_non_numeric_field_raises(tmp_path):
+    path = tmp_path / "p.csv"
+    path.write_text("a,b\n1,2\n3,oops\n")
+    with pytest.raises(ValueError, match="Non-numeric"):
+        native.load_csv_columns(str(path), ["a", "b"])
+
+
+def test_csv_empty_field_raises(tmp_path):
+    path = tmp_path / "p.csv"
+    path.write_text("a,b\n1,\n")
+    with pytest.raises(ValueError, match="Non-numeric"):
+        native.load_csv_columns(str(path), ["a", "b"])

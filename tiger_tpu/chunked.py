@@ -84,15 +84,31 @@ def solve_chunked(
         w_end = min(tf, w_start + chunk_minutes)
         forcings = load_window(w_start, w_end)
 
+        if w == 0 and forcings is not None:
+            # The window-relative gather equals the absolute ZOH series only
+            # when window boundaries land on forcing-sample boundaries
+            # (module docstring); validate rather than silently shifting.
+            for dt_min in forcings.meta.dt_min:
+                if abs(chunk_minutes / dt_min - round(chunk_minutes / dt_min)) > 1e-9:
+                    raise ValueError(
+                        f"chunk_minutes={chunk_minutes} is not a multiple of "
+                        f"forcing dt={dt_min} min; window-relative forcing "
+                        "gathers would diverge from the unchunked series"
+                    )
+
         qt = None
         if query_interval is not None:
             # Queries in (w_start, w_end], expressed window-relative; the
             # w == 0 window also carries the t0 query (fill_t0_queries).
-            lo = w_start if w == 0 else w_start + query_interval
-            qt_abs = np.arange(
-                math.ceil((lo - t0) / query_interval - 1e-9),
-                math.floor((w_end - t0) / query_interval + 1e-9) + 1,
-            ) * query_interval + t0
+            # First index = first multiple of query_interval strictly greater
+            # than w_start (NOT w_start + query_interval, which skips queries
+            # when chunk_minutes is not a multiple of query_interval).
+            lo_idx = (
+                0 if w == 0
+                else math.floor((w_start - t0) / query_interval + 1e-9) + 1
+            )
+            hi_idx = math.floor((w_end - t0) / query_interval + 1e-9)
+            qt_abs = np.arange(lo_idx, hi_idx + 1) * query_interval + t0
             qt = jnp.asarray(qt_abs - w_start)
             all_qt.append(qt_abs)
 

@@ -75,6 +75,11 @@ def load_csv_columns(path: str, columns: Sequence[str]) -> Dict[str, np.ndarray]
     parsed = lib.tt_csv_parse(path.encode(), c_names, len(cols), c_out, n_rows)
     if parsed == -2:
         raise ValueError(f"Missing one of columns {cols} in {path}")
+    if parsed == -4:
+        raise ValueError(
+            f"Non-numeric or empty field in a requested column of {path} "
+            "(reference std::stod would throw; refusing to load as 0.0)"
+        )
     if parsed < 0:
         raise IOError(f"Failed parsing {path} (code {parsed})")
     return {c: a[:parsed] for c, a in zip(cols, arrs)}

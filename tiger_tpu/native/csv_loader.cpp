@@ -59,7 +59,7 @@ long tt_csv_count_rows(const char* path) {
 
 // Parse the requested columns (by header name) into caller-provided double
 // buffers of capacity max_rows each.  Returns rows parsed; -1 file error,
-// -2 missing column, -3 short row.
+// -2 missing column, -3 short row, -4 non-numeric/empty requested field.
 long tt_csv_parse(const char* path, const char** cols, int n_cols,
                   double** out, long max_rows) {
     std::string buf = read_file(path);
@@ -106,6 +106,10 @@ long tt_csv_parse(const char* path, const char** cols, int n_cols,
             if (want[field] >= 0) {
                 char* after = q;
                 double v = strtod(q, &after);
+                // Empty / non-numeric fields must error like std::stod in the
+                // reference (parameters_loader.cpp:62-105) rather than load
+                // as 0.0 (n_mann=0 would divide by zero in the Manning term).
+                if (after == q) return -4;
                 out[want[field]][row] = v;
             }
             char* comma = static_cast<char*>(memchr(q, ',', line_end - q));
