@@ -14,6 +14,10 @@ from tiger_tpu.io import write_grid_forcing
 
 @pytest.fixture
 def scenario(tmp_path):
+    return make_scenario(tmp_path)
+
+
+def make_scenario(tmp_path):
     """Small basin: 6 links on a 3x5 grid, hourly pr + daily t2m, 2 days."""
     rng = np.random.default_rng(9)
     n_lat, n_lon, n_sys = 3, 5, 6

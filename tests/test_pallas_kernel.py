@@ -160,3 +160,47 @@ def test_non_default_state_dimension():
     np.testing.assert_allclose(
         np.asarray(ker.dense), np.asarray(ref.dense), rtol=1e-4, atol=1e-6
     )
+
+
+def test_failed_vs_stiff_semantics_match_vmap():
+    # Contract (solver/rk45.py:259-261): max_steps-capped lanes report
+    # failed=True AND stiff=True; criteria-stiff lanes report failed=False.
+    # Round 1 folded kernel failures into stiff (failed always False).
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class Decay2:
+        N_EQ: int = 2
+        UID: int = 97
+
+        def rhs_tuple(self, t, y, p, f=None):
+            return (p["lam"] * (y[0] - 1.0), -0.5 * y[1])
+
+        def rhs(self, t, y, p, f=None):
+            return jnp.stack(self.rhs_tuple(t, y, p, f))
+
+    # Case 1: smooth lanes that cannot finish within max_steps -> failed.
+    cfg_cap = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=5, max_scale=1.0)
+    y0 = jnp.full((8, 2), 2.0, jnp.float32)
+    params = {"lam": jnp.full((8,), -0.2, jnp.float32)}
+    h0 = jnp.full((8,), 1e-3, jnp.float32)
+    ref = rk45_solve(Decay2(), y0, 0.0, 50.0, None, params, h0=h0, config=cfg_cap)
+    ker = rk45_solve_pallas(
+        Decay2(), y0, 0.0, 50.0, None, params, h0=h0, config=cfg_cap, interpret=True
+    )
+    for r in (ref, ker):
+        assert np.asarray(r.failed).all(), "max_steps cap must set failed"
+        assert np.asarray(r.stiff).all(), "failed lanes also feed the Radau pass"
+
+    # Case 2: genuinely stiff lanes (reject streak) -> stiff but NOT failed.
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9, max_steps=20_000)
+    params_stiff = {"lam": jnp.asarray([-1e6, -0.2, -1e6, -0.3], jnp.float32)}
+    y0s = jnp.full((4, 2), 2.0, jnp.float32)
+    h0s = jnp.full((4,), 1e-3, jnp.float32)
+    refs = rk45_solve(Decay2(), y0s, 0.0, 50.0, None, params_stiff, h0=h0s, config=cfg)
+    kers = rk45_solve_pallas(
+        Decay2(), y0s, 0.0, 50.0, None, params_stiff, h0=h0s, config=cfg, interpret=True
+    )
+    for r in (refs, kers):
+        np.testing.assert_array_equal(np.asarray(r.stiff), [True, False, True, False])
+        assert not np.asarray(r.failed).any(), "criteria-stiff lanes are not failures"

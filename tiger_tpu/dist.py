@@ -82,9 +82,10 @@ def _sharded_rk45(
             if params_s is not None:
                 param_fields = tuple(sorted(params_s.keys()))
                 p_dict = params_s
+            interpret = jax.devices()[0].platform != "tpu"  # CPU mesh tests
             return _pallas_pipeline(
                 model, y0_s, h0_s, p_dict, forc_s, qt,
-                t0, tf, meta, config, param_fields, False,
+                t0, tf, meta, config, param_fields, interpret,
             )
         return rk45_solve_traced(
             model, y0_s, t0, tf, qt, params_s, forc_s, meta, h0_s, config

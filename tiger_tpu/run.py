@@ -58,9 +58,10 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
 
     # ---- load & shard spatial parameters -------------------------------
     with metrics.phase("load_params"):
-        sp = params_mod.load_spatial_params(cfg.params_file)
-        rows = shard_rows_for_process(params_mod.num_systems(sp))
-        sp = params_mod.slice_rows(sp, rows)
+        sp_full = params_mod.load_spatial_params(cfg.params_file)
+        s_total = params_mod.num_systems(sp_full)
+        rows = shard_rows_for_process(s_total)
+        sp = params_mod.slice_rows(sp_full, rows)
         n_sys = params_mod.num_systems(sp)
         link_ids = sp["stream"]
         model_params = {
@@ -109,9 +110,13 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         y0 = jnp.asarray(y0, dtype)
 
     # ---- solve ----------------------------------------------------------
+    # Multi-process runs mesh over LOCAL devices only: each process owns its
+    # row slice end to end (the reference's independent ranks, main.cpp:310+);
+    # no global mesh means every array stays addressable for the two-phase
+    # stiff compaction.  Single-process: local == global devices.
     mesh = None
     if use_mesh:
-        devs = devices or jax.devices()
+        devs = devices or jax.local_devices()
         if len(devs) > 1:
             mesh = systems_mesh(devs)
     t_solve = time.perf_counter()
@@ -167,10 +172,47 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
             from tiger_tpu import routing
             from tiger_tpu.io.netcdf import NetCDFWriter
 
-            topo = routing.build_topology(sp["stream"], sp["next_stream"])
-            q_routed = np.asarray(
-                routing.routed_discharge(jnp.nan_to_num(res.dense), model_params, topo)
-            )
+            if jax.process_count() > 1:
+                # Downstream links cross rank boundaries: accumulate on the
+                # FULL topology.  Each rank allgathers the (small) dense
+                # runoff and computes the global accumulation, then keeps its
+                # own rows — a local-slice topology would silently drop
+                # upstream contributions from other ranks at shard edges.
+                from jax.experimental import multihost_utils
+
+                from tiger_tpu.params import split_even
+
+                topo = routing.build_topology(
+                    sp_full["stream"], sp_full["next_stream"]
+                )
+                full_params = {
+                    k: jnp.asarray(v, dtype)
+                    for k, v in params_mod.model_params(sp_full).items()
+                }
+                slices = split_even(s_total, jax.process_count())
+                max_len = max(sl.stop - sl.start for sl in slices)
+                local = jnp.nan_to_num(jnp.asarray(res.dense))
+                local = jnp.pad(
+                    local, ((0, max_len - n_sys), (0, 0), (0, 0))
+                )
+                gath = multihost_utils.process_allgather(local, tiled=True)
+                dense_full = jnp.concatenate(
+                    [
+                        gath[i * max_len : i * max_len + (sl.stop - sl.start)]
+                        for i, sl in enumerate(slices)
+                    ],
+                    axis=0,
+                )
+                q_routed = np.asarray(
+                    routing.routed_discharge(dense_full, full_params, topo)
+                )[rows]
+            else:
+                topo = routing.build_topology(sp["stream"], sp["next_stream"])
+                q_routed = np.asarray(
+                    routing.routed_discharge(
+                        jnp.nan_to_num(res.dense), model_params, topo
+                    )
+                )
             discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
             with NetCDFWriter(discharge_path) as w:
                 w.def_dim("system", n_sys, np.asarray(link_ids, np.int32), np.int32)
@@ -209,6 +251,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument(
         "--distributed", action="store_true", help="jax.distributed.initialize()"
     )
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (else auto-detected)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--profile-dir", default=None, help="jax.profiler trace directory")
     p.add_argument(
         "--backend",
@@ -225,7 +271,11 @@ def main(argv: Optional[list] = None) -> int:
     if args.distributed:
         import jax
 
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from tiger_tpu.config import load_config
     from tiger_tpu.profiling import Metrics, trace

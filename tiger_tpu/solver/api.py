@@ -95,12 +95,13 @@ def solve(
         raise ValueError(f"backend must be auto|pallas|xla, got {backend!r}")
 
     h0 = initial_step(model, y0, t0, params, forcings, config)
-    use_pallas = backend == "pallas" or (
-        backend == "auto"
-        and mesh is None
-        and y0.dtype == jnp.float32
+    on_tpu_f32 = (
+        y0.dtype == jnp.float32
         and jax.devices()[0].platform == "tpu"
         and hasattr(model, "rhs_tuple")
+    )
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and mesh is None and on_tpu_f32
     )
     if use_pallas:
         from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
@@ -115,15 +116,9 @@ def solve(
     elif mesh is not None:
         from tiger_tpu.dist import rk45_solve_sharded
 
-        shard_backend = "pallas" if (
-            backend == "pallas"
-            or (
-                backend == "auto"
-                and y0.dtype == jnp.float32
-                and jax.devices()[0].platform == "tpu"
-                and hasattr(model, "rhs_tuple")
-            )
-        ) else "xla"
+        shard_backend = "pallas" if (backend == "pallas" or (
+            backend == "auto" and on_tpu_f32
+        )) else "xla"
         rk = rk45_solve_sharded(
             model, y0, t0, tf, query_times, params, forcings, h0, config, mesh,
             backend=shard_backend,
@@ -135,6 +130,15 @@ def solve(
     # device->host transfer that is pure waste in the common no-stiff case.
     n_stiff = int(jnp.sum(rk.stiff))
     n_stiff_flagged = n_stiff
+    if n_stiff and not getattr(rk.stiff, "is_fully_addressable", True):
+        # A cross-process global mesh makes the host compaction below
+        # impossible (np.asarray on non-addressable shards).  The supported
+        # multi-process layout is per-process LOCAL meshes over local row
+        # slices (tiger_tpu.run), where everything stays addressable.
+        raise NotImplementedError(
+            "stiff systems under a cross-process global mesh: shard rows per "
+            "process and solve on a local mesh instead (see tiger_tpu.run)"
+        )
     stiff_mask = np.asarray(rk.stiff) if n_stiff else np.zeros(s_count, bool)
     y_final, dense = rk.y_final, rk.dense
     failed = rk.failed
@@ -143,8 +147,10 @@ def solve(
     # Stiff-heavy accelerator runs: re-integrate the flagged subset with the
     # fused Radau kernel ON DEVICE first; only its failures fall through to
     # the CPU float64 pipeline below.  (For the usual handful of flagged
-    # lanes the device round-trip isn't worth it.)
-    if n_stiff >= 256 and use_pallas:
+    # lanes the device round-trip isn't worth it.)  Applies to sharded (mesh)
+    # TPU runs too — the subset is host-compacted to one device either way,
+    # mirroring the reference's CPU gather (rk45_api.hpp:190-203).
+    if n_stiff >= 256 and on_tpu_f32 and backend != "xla":
         from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
 
         idx0 = np.nonzero(stiff_mask)[0]
