@@ -204,3 +204,71 @@ def test_failed_vs_stiff_semantics_match_vmap():
     for r in (refs, kers):
         np.testing.assert_array_equal(np.asarray(r.stiff), [True, False, True, False])
         assert not np.asarray(r.failed).any(), "criteria-stiff lanes are not failures"
+
+
+def test_query_auto_windowing_matches_unwindowed(monkeypatch):
+    # Shrink the VMEM budget so 30 queries exceed it and the pipeline scans
+    # query windows (carrying y and h across sub-intervals).  Must agree with
+    # the unwindowed kernel to controller tolerance (the only difference is
+    # one clamped step per window boundary).
+    import tiger_tpu.kernels.rk45_pallas as kp
+
+    y0 = _dummy_batch(16)
+    qt = jnp.linspace(0.2, 5.0, 30, dtype=jnp.float32)
+    h0 = jnp.full((16,), 0.05, jnp.float32)
+
+    ref = rk45_solve_pallas(
+        DummyModel(), y0, 0.0, 5.0, qt, h0=h0, config=CFG, interpret=True
+    )
+
+    monkeypatch.setattr(kp, "_VMEM_BUDGET", 438_000)
+    assert kp._pick_tile_rows(30, 5, 1, 1) is None  # windowing engaged
+    win = rk45_solve_pallas(
+        DummyModel(), y0, 0.0, 5.0, qt, h0=h0, config=CFG, interpret=True
+    )
+
+    assert win.dense.shape == ref.dense.shape == (16, 30, 5)
+    np.testing.assert_allclose(
+        np.asarray(win.y_final), np.asarray(ref.y_final), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(win.dense), np.asarray(ref.dense), rtol=1e-4, atol=1e-6
+    )
+    assert not np.asarray(win.stiff).any() and not np.asarray(win.failed).any()
+    # Step counts comparable (boundary clamps add ~1 step per window).
+    _assert_steps_close(win.stats.n_attempts, ref.stats.n_attempts)
+
+
+def test_windowing_with_forcings_and_t0_query(monkeypatch):
+    # Model 204 + absolute-time forcing gathers + fill_t0 prefill across the
+    # windowed path; vmap reference is ground truth.
+    import tiger_tpu.kernels.rk45_pallas as kp
+    from tests.test_model204 import NB_PARAMS
+
+    s_count = 16
+    rng = np.random.default_rng(11)
+    params = {k: jnp.full((s_count,), v, jnp.float32) for k, v in NB_PARAMS.items()}
+    pr = np.tile(rng.uniform(0, 0.0015, (1, s_count)), (24, 1)).astype(np.float32)
+    t2m = np.full((1, s_count), 6.0, np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.tile(jnp.asarray([0.01, 3.0, 0.0, 5.0, 0.2], jnp.float32), (s_count, 1))
+    qt = jnp.arange(0.0, 1441.0, 60.0, dtype=jnp.float32)  # 25 queries incl. t0
+    h0 = jnp.full((s_count,), 1e-3, jnp.float32)
+
+    ref = rk45_solve(Model204(), y0, 0.0, 1440.0, qt, params, forc, h0=h0, config=CFG)
+
+    monkeypatch.setattr(kp, "_VMEM_BUDGET", 600_000)
+    assert kp._pick_tile_rows(25, 5, forc.data.shape[0], len(params)) is None
+    win = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, qt, params, forc, h0=h0, config=CFG,
+        interpret=True,
+    )
+    assert not np.asarray(win.stiff).any()
+    # t0 row prefilled with y0 (fill_t0_queries) in window 0 only.
+    np.testing.assert_allclose(np.asarray(win.dense[:, 0, :]), np.asarray(y0))
+    np.testing.assert_allclose(
+        np.asarray(win.y_final), np.asarray(ref.y_final), rtol=5e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(win.dense), np.asarray(ref.dense), rtol=5e-3, atol=1e-5
+    )

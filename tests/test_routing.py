@@ -99,3 +99,54 @@ def test_link_runoff_204_shapes():
     q = routing.link_runoff_204(y, params)
     assert q.shape == (3,)
     assert bool((np.asarray(q) >= 0).all())
+
+
+def test_log_accumulate_matches_brute_random_forest():
+    rng = np.random.default_rng(17)
+    ids, nxt = _random_forest(rng, 300)
+    topo = routing.build_topology(ids, nxt)
+    q = rng.uniform(0, 1, 300)
+    acc_log = np.asarray(
+        routing.accumulate_downstream_log(jnp.asarray(q), jnp.asarray(topo.ptr_tables))
+    )
+    np.testing.assert_allclose(acc_log, _brute_accumulate(q, topo.next_idx), rtol=1e-12)
+    # And equals the O(depth) fixpoint oracle.
+    acc_fix = np.asarray(
+        routing.accumulate_downstream(jnp.asarray(q), jnp.asarray(topo.next_idx), topo.depth)
+    )
+    np.testing.assert_allclose(acc_log, acc_fix, rtol=1e-12)
+
+
+def test_log_accumulate_deep_chain():
+    # Deep path (depth 999): log-depth needs only ceil(log2(1000)) = 10 rounds.
+    n = 1000
+    ids = np.arange(1, n + 1)
+    nxt = np.concatenate([ids[1:], [-1]])
+    topo = routing.build_topology(ids, nxt)
+    assert topo.depth == n - 1
+    assert topo.ptr_tables.shape[0] == int(np.ceil(np.log2(n)))
+    q = np.ones(n)
+    acc = np.asarray(
+        routing.accumulate_downstream_log(jnp.asarray(q), jnp.asarray(topo.ptr_tables))
+    )
+    np.testing.assert_allclose(acc, np.arange(1, n + 1, dtype=np.float64))
+
+
+def test_sharded_log_accumulate_deep_chain_crossing_shards():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual device mesh")
+    from tiger_tpu.dist import systems_mesh
+
+    n_dev = 8
+    n = 16 * n_dev  # chain crossing every shard boundary
+    ids = np.arange(1, n + 1)
+    nxt = np.concatenate([ids[1:], [-1]])
+    topo = routing.build_topology(ids, nxt)
+    plan = routing.plan_sharded_topology(topo, n_dev)
+    assert plan.n_rounds == topo.ptr_tables.shape[0]
+    mesh = systems_mesh(jax.devices()[:n_dev])
+    q = np.random.default_rng(3).uniform(0, 1, n)
+    acc = np.asarray(
+        routing.accumulate_downstream_sharded(jnp.asarray(q), plan, mesh)
+    )
+    np.testing.assert_allclose(acc, _brute_accumulate(q, topo.next_idx), rtol=1e-12)

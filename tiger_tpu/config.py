@@ -122,6 +122,12 @@ class SimulationConfig:
     time: TimeInfo = dataclasses.field(default_factory=TimeInfo)
     initial: InitialInfo = dataclasses.field(default_factory=InitialInfo)
     params_file: str = ""
+    # local_params.columns (config.yaml:27-31): positional column mapping for
+    # headerless/foreign CSVs — see tiger_tpu.params.load_spatial_params.
+    params_columns: Optional[dict] = None
+    # global_params (config.yaml:20-22): scalar parameters broadcast to every
+    # system; per-link CSV values win on name collision.
+    global_params: dict = dataclasses.field(default_factory=dict)
     forcings: ForcingInfo = dataclasses.field(default_factory=ForcingInfo)
     output: OutputInfo = dataclasses.field(default_factory=OutputInfo)
     solver: SolverInfo = dataclasses.field(default_factory=SolverInfo)
@@ -163,6 +169,16 @@ def load_config(path: str) -> SimulationConfig:
             raise ValueError(f"initial.mode must be cold|hot, got {cfg.initial.mode}")
     if lp := doc.get("local_params"):
         cfg.params_file = str(lp.get("file", ""))
+        if cols := lp.get("columns"):
+            cfg.params_columns = {
+                "stream_id": int(cols.get("stream_id", 0)),
+                "next_stream_id": int(cols.get("next_stream_id", 1)),
+                "params_start": int(cols.get("params_start", 2)),
+                "num_params": int(cols.get("num_params", 15)),
+            }
+    if gp := doc.get("global_params"):
+        for entry in gp:
+            cfg.global_params[str(entry["name"])] = float(entry.get("value", 0.0))
     if f := doc.get("forcings"):
         fv = f.get("vars") or {}
         cfg.forcings = ForcingInfo(

@@ -114,6 +114,78 @@ class ForcingSpec:
     dt_hours: float  # hours per time step (converted to minutes at pack time)
 
 
+def _units_to_hours(units: str) -> Optional[float]:
+    """CF time-units string -> hours per unit ('hours since ...' -> 1.0)."""
+    head = units.strip().lower().split()[0] if units else ""
+    return {
+        "seconds": 1.0 / 3600.0, "second": 1.0 / 3600.0, "s": 1.0 / 3600.0,
+        "minutes": 1.0 / 60.0, "minute": 1.0 / 60.0, "min": 1.0 / 60.0,
+        "hours": 1.0, "hour": 1.0, "h": 1.0, "hrs": 1.0,
+        "days": 24.0, "day": 24.0, "d": 24.0,
+    }.get(head)
+
+
+def discover_forcings(folder: str, var_names: Sequence[str]) -> list:
+    """``forcings.type: folder_nc`` discovery: scan ``folder`` for NetCDF files
+    holding each variable in ``var_names``; infer dt from the time coordinate.
+
+    Implements the reference config schema's intended behavior
+    (data/config.yaml:33-40 — folder + var names only, no per-file entries;
+    the reference itself hard-codes paths and dt in main.cpp:508-515).
+    Returns ForcingSpec list in ``var_names`` order.  Raises with a pointer
+    to the explicit ``files:`` form when a variable is missing, found twice,
+    or its time coordinate has no usable units.
+    """
+    import glob as _glob
+    import os
+
+    from tiger_tpu.io.netcdf import NetCDFReader
+
+    candidates = sorted(
+        _glob.glob(os.path.join(folder, "*.nc"))
+        + _glob.glob(os.path.join(folder, "*.nc4"))
+    )
+    specs = []
+    for var in var_names:
+        hits = []
+        for path in candidates:
+            try:
+                rd = NetCDFReader(path, var)
+            except (KeyError, ValueError, OSError):
+                continue
+            with rd:
+                tvals, units = rd.time_info()
+            hits.append((path, tvals, units))
+        if not hits:
+            raise FileNotFoundError(
+                f"forcings.type folder_nc: no NetCDF file in {folder!r} has a "
+                f"3-D variable {var!r}; list sources explicitly under "
+                "forcings.files instead"
+            )
+        if len(hits) > 1:
+            raise ValueError(
+                f"forcings.type folder_nc: variable {var!r} found in multiple "
+                f"files ({[h[0] for h in hits]}); disambiguate with "
+                "forcings.files"
+            )
+        path, tvals, units = hits[0]
+        per_unit = _units_to_hours(units) if units else None
+        if tvals is None or len(tvals) < 2 or per_unit is None:
+            raise ValueError(
+                f"Cannot infer time step for {var!r} in {path}: time "
+                f"coordinate/units missing or unparseable ({units!r}); set "
+                "dt_hours explicitly under forcings.files"
+            )
+        steps = np.diff(np.asarray(tvals, np.float64))
+        if steps.min() <= 0 or not np.allclose(steps, steps[0], rtol=1e-6):
+            raise ValueError(
+                f"Non-uniform time coordinate for {var!r} in {path}; "
+                "zero-order-hold forcing needs a constant step"
+            )
+        specs.append(ForcingSpec(path=path, var=var, dt_hours=float(steps[0] * per_unit)))
+    return specs
+
+
 def load_forcings(
     specs: Sequence[ForcingSpec],
     stream_ids: np.ndarray,

@@ -100,6 +100,30 @@ class NetCDFReader:
             return dict(getattr(self._var, "_attributes", {}))
         return {k: v for k, v in self._var.attrs.items() if not k.startswith("_Netcdf")}
 
+    def time_info(self):
+        """(time coordinate values, units string) or (None, None).
+
+        Used by forcing folder discovery to infer each variable's time step
+        (the reference hard-codes dt per file, main.cpp:508-515).
+        """
+        if self._classic:
+            tv = self._f.variables.get("time")
+            if tv is None:
+                return None, None
+            units = getattr(tv, "units", None) or tv._attributes.get("units")
+            vals = np.array(tv[:], np.float64)
+        else:
+            if "time" not in self._f:
+                return None, None
+            ds = self._f["time"]
+            if ds.attrs.get("NAME", b"").startswith(_DIM_ANON.encode()):
+                return None, None  # anonymous dimension, no coordinate values
+            vals = np.asarray(ds[:], np.float64)
+            units = ds.attrs.get("units")
+        if isinstance(units, bytes):
+            units = units.decode()
+        return vals, units
+
     def close(self):
         if self._classic:
             # Every chunk we hand out is np.array-copied, so the mmap can go;
@@ -182,11 +206,14 @@ def write_grid_forcing(
     lat_vals: Optional[np.ndarray] = None,
     lon_vals: Optional[np.ndarray] = None,
     attrs: Optional[dict] = None,
+    time_attrs: Optional[dict] = None,
 ) -> None:
     """Write a (time, lat, lon) float32 forcing grid (ERA5-Land-shaped).
 
     Used by tests/benchmarks to synthesize forcing files with the layout the
     reference consumes (pr_hourly_era5land_2019.nc etc., main.cpp:508-515).
+    ``time_attrs`` (e.g. {"units": "hours since 2019-01-01"}) enables dt
+    inference by forcing folder discovery.
     """
     data = np.asarray(data, np.float32)
     n_t, n_lat, n_lon = data.shape
@@ -194,4 +221,6 @@ def write_grid_forcing(
         w.def_dim("time", n_t, time_vals, "f8")
         w.def_dim("lat", n_lat, lat_vals, "f8")
         w.def_dim("lon", n_lon, lon_vals, "f8")
+        if time_attrs:
+            w.set_dim_attrs("time", time_attrs)
         w.def_var(var_name, data, ("time", "lat", "lon"), attrs=attrs)

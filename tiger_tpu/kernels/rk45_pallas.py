@@ -51,22 +51,33 @@ LANES = 128
 _VMEM_BUDGET = 10 * 2**20  # leave headroom under the ~16 MB/core VMEM
 
 
-def _pick_tile_rows(q_total: int, n_eq: int, t_forc: int, n_params: int) -> int:
+def _pick_tile_rows(
+    q_total: int, n_eq: int, t_forc: int, n_params: int
+) -> Optional[int]:
     """Largest tile (rows of 128 lanes) whose working set fits VMEM.
 
-    Per lane: dense block (qp * n_eq), forcing block, params, and ~70 f32
-    live values (carries, 7 stages, temporaries).  Bigger tiles amortize the
-    while-loop overhead across more lanes: 8 -> 32 rows measured 2.3x on the
-    2-day Model-204 bench.  Falls to 8 for large query counts; callers
-    needing huge Q on TPU should window queries (tiger_tpu.chunked) or use
-    the XLA path.
+    Per lane: dense block (qp * n_eq, counted TWICE — Pallas double-buffers
+    the output block across grid steps, which is what the hardware scoped-
+    vmem accounting sees), forcing block, params, and ~70 f32 live values
+    (carries, 7 stages, temporaries).  Bigger tiles amortize the while-loop
+    overhead across more lanes: 8 -> 32 rows measured 2.3x on the 2-day
+    Model-204 bench.  Returns None when even an 8-row tile cannot hold the
+    dense block — the pipeline then auto-windows the queries
+    (_query_window_size) instead of handing Mosaic an over-budget kernel.
     """
     qp = max(q_total, 1)
-    per_lane = 4 * (qp * n_eq + t_forc + n_params + 70)
+    per_lane = 4 * (2 * qp * n_eq + t_forc + n_params + 70)
     for rows in (32, 16, 8):
         if per_lane * rows * LANES <= _VMEM_BUDGET:
             return rows
-    return 8
+    return None
+
+
+def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int = 8) -> int:
+    """Max queries per window so an ``rows``-row tile fits the VMEM budget."""
+    per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
+    qc = (per_lane_budget - t_forc - n_params - 70) // (2 * n_eq)
+    return max(int(qc), 1)
 
 
 class _Carry(NamedTuple):
@@ -112,6 +123,9 @@ def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=No
 
 
 def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
+    # Static GLOBAL span: the stiffness criterion h < span*min_step_fraction
+    # (rk45_kernel.cu:167-170) always uses the full-run span, even when the
+    # pipeline windows queries and each call integrates a sub-interval.
     span = tf - t0
 
     dp_a, dp_c = tableau.DP_A, tableau.DP_C
@@ -119,9 +133,14 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
     dp_e = tableau.DP_E
     dp_p = tableau.DP_P
 
-    def kernel(qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
-               yf_ref, dense_ref, stiff_ref, stats_ref):
+    def kernel(bounds_smem, qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
+               yf_ref, dense_ref, stiff_ref, stats_ref, hout_ref):
         dtype = y0_ref.dtype
+        # Window bounds are DYNAMIC scalars (SMEM) so the query-windowed
+        # pipeline can lax.scan one compiled kernel over sub-intervals;
+        # unwindowed calls pass (t0, tf).
+        t0_s = bounds_smem[0, 0]
+        tf_s = bounds_smem[0, 1]
         y0 = tuple(y0_ref[i] for i in range(n_eq))  # N x (R, 128)
         qt2 = qt_ref[...] if q_total > 0 else None  # (1, Qp) value, reductions
         r = y0[0].shape[0]
@@ -140,7 +159,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         # but not on loop-carry values.  Rows with qt <= t0 prefill with y0
         # (fill_t0_queries); everything else zeros.  Row-at-a-time 2-D writes.
         if q_total > 0 and cfg.fill_t0_queries:
-            n_pre = jnp.sum((qt2 <= t0).astype(i32))
+            n_pre = jnp.sum((qt2 <= t0_s).astype(i32))
         else:
             n_pre = jnp.zeros((), i32)
         zero2d = jnp.zeros(shp, dtype)
@@ -161,9 +180,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         vzi = vz.astype(i32)
         carry0 = _Carry(
             alive=jnp.ones((), i32),
-            t=vz + t0,
+            t=vz + t0_s,
             t_c=vz,
-            h=h0_ref[0],
+            h=h0_ref[1],  # row 1 = current step size (carried across windows)
             y=y0,
             reject=vzi,
             stiff=vzi,
@@ -183,10 +202,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 return m.astype(i32)
 
             act_i = (
-                b2i(c.t < tf) * b2i(c.stiff == 0) * b2i(c.n_att < cfg.max_steps)
+                b2i(c.t < tf_s) * b2i(c.stiff == 0) * b2i(c.n_att < cfg.max_steps)
             )
             t, y = c.t, c.y
-            h_eff = jnp.where(t + c.h > tf, tf - t, c.h)
+            h_eff = jnp.where(t + c.h > tf_s, tf_s - t, c.h)
 
             f_vals = None
             if meta is not None:
@@ -240,7 +259,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 big = jnp.asarray(2.0 * abs(tf) + 1e30, dtype)
                 min_t = jnp.min(jnp.where(act_i > 0, t, big))
                 max_t1 = jnp.max(
-                    jnp.where(advance_i > 0, t1, jnp.asarray(t0 - 1.0, dtype))
+                    jnp.where(advance_i > 0, t1, t0_s - 1.0)
                 )
                 q_lo = jnp.sum((qt2 < min_t).astype(i32))  # strictly passed
                 q_hi = jnp.sum((qt2 <= max_t1).astype(i32))
@@ -292,7 +311,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             stiff_acc = jnp.maximum(c.stiff, stiff_new)
             n_att_new = c.n_att + act_i
             still_i = (
-                b2i(t_new < tf) * b2i(stiff_acc == 0) * b2i(n_att_new < cfg.max_steps)
+                b2i(t_new < tf_s) * b2i(stiff_acc == 0) * b2i(n_att_new < cfg.max_steps)
             )
             return _Carry(
                 alive=jnp.max(still_i),
@@ -311,14 +330,21 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
         out = lax.while_loop(cond, body, carry0)
 
-        completed = out.t >= tf
+        completed = out.t >= tf_s
         nan = jnp.asarray(jnp.nan, dtype)
         for ci in range(n_eq):
             yf_ref[ci] = jnp.where(completed, out.y[ci], nan)
-        stiff_ref[0] = jnp.maximum(out.stiff, (~completed).astype(i32))
+        # Same contract as the vmap path (solver/rk45.py:259-261): lanes that
+        # hit max_steps without tripping the stiffness criteria report
+        # failed=1 AND stiff=1 (they go to the Radau pass too); criteria-stiff
+        # lanes report failed=0.
+        notc_i = (out.t < tf_s).astype(i32)
+        stiff_ref[0] = jnp.maximum(out.stiff, notc_i)
         stats_ref[0] = out.n_acc
         stats_ref[1] = out.n_rej
         stats_ref[2] = out.n_att
+        stats_ref[3] = notc_i * (1 - out.stiff)
+        hout_ref[0] = out.h
 
     return kernel
 
@@ -361,6 +387,18 @@ def rk45_solve_pallas(
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data
     qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
+    if qt is not None and _pick_tile_rows(
+        qt.shape[0], n_eq, 1 if forc_data is None else forc_data.shape[0],
+        max(len(param_fields), 1),
+    ) is None:
+        # Query-windowed mode splits the run at query times; duplicate query
+        # times would straddle a window boundary and the second copy would
+        # never fill (tq > t0_w fails).  Require strictly increasing.
+        if (np.diff(np.asarray(qt)) <= 0).any():
+            raise ValueError(
+                "query_times must be strictly increasing for query counts "
+                "large enough to trigger kernel auto-windowing"
+            )
     # The whole pipeline (pad/reshape + pallas_call + unpad) runs under ONE
     # jit: dispatched eagerly, the ~15 layout ops each pay a host->device
     # round trip, which dominated wall time on the remote-tunneled TPU.
@@ -379,9 +417,24 @@ def _pallas_pipeline(
     t0, tf, meta, config, param_fields, interpret,
 ):
     s_count, n_eq = y0.shape
-    q_total_pick = 0 if query_times is None else query_times.shape[0]
+    q_total = 0 if query_times is None else query_times.shape[0]
     t_forc = 1 if forc_data is None else forc_data.shape[0]
-    tile_rows = _pick_tile_rows(q_total_pick, n_eq, t_forc, max(len(param_fields), 1))
+    n_par = max(len(param_fields), 1)
+
+    tile_rows = _pick_tile_rows(q_total, n_eq, t_forc, n_par)
+    if tile_rows is None:
+        # The whole dense block cannot sit in VMEM: window the queries and
+        # lax.scan the kernel over sub-intervals, carrying (y, h).
+        q_chunk = _query_window_size(n_eq, t_forc, n_par)
+        tile_rows = 8
+        if q_chunk < 1 or _pick_tile_rows(q_chunk, n_eq, t_forc, n_par) is None:
+            raise ValueError(
+                f"forcing/params working set alone exceeds the kernel VMEM "
+                f"budget (t_forc={t_forc}, n_params={n_par}); stream the time "
+                "dimension with tiger_tpu.chunked.solve_chunked"
+            )
+    else:
+        q_chunk = None
     tile = tile_rows * LANES
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
@@ -408,23 +461,20 @@ def _pallas_pipeline(
     else:
         f_m = jnp.zeros((1, r_total, LANES), jnp.float32)
 
-    q_total = 0 if query_times is None else query_times.shape[0]
-    qp = max(q_total, 1)
-    qt_m = jnp.zeros((1, qp), jnp.float32)
-    if q_total > 0:
-        qt_m = query_times[None, :]
-
+    qp = max(q_total, 1) if q_chunk is None else q_chunk
     kernel = _make_kernel(
-        model, param_fields, meta, t0, tf, n_eq, q_total, config
+        model, param_fields, meta, t0, tf, n_eq,
+        q_total if q_chunk is None else q_chunk, config,
     )
 
     grid = (n_tiles,)
     row_map = lambda i: (0, i, 0)
     in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
@@ -434,38 +484,105 @@ def _pallas_pipeline(
             (qp, n_eq, tile_rows, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((3, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((4, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((1, r_total, LANES), jnp.float32),
     ]
 
-    yf, dense, stiff, stats = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(qt_m, qt_m, y0_m, h0_m, p_m, f_m)
+    )
+
+    if q_chunk is None:
+        qt_m = jnp.zeros((1, qp), jnp.float32)
+        if q_total > 0:
+            qt_m = query_times[None, :]
+        bounds = jnp.asarray([[t0, tf]], jnp.float32)
+        h_pair = jnp.concatenate([h0_m, h0_m], axis=0)
+        yf, dense, stiff, stats, _ = call(
+            bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m
+        )
+        failed_m = stats[3:4]
+        stats_m = stats[:3]
+    else:
+        # ---- query-windowed multi-call: scan windows, carry (y, h) ----
+        # Window i covers queries [i*Qc, (i+1)*Qc); its time interval is
+        # (prev window's last query, own last query], except window 0 starts
+        # at t0 and the last window ends at tf.  Forcing gathers use ABSOLUTE
+        # time throughout, so only the dense buffer is windowed; the step
+        # sequence matches the unwindowed kernel except that one step per
+        # boundary is clamped to land exactly on it (tolerance-level effect,
+        # same as the reference's clamp at tf, rk45_kernel.cu:54).
+        n_w = -(-q_total // q_chunk)
+        pad_q = n_w * q_chunk - q_total
+        # Padding queries sit beyond tf: never filled, sliced off below.
+        qt_flat = jnp.concatenate(
+            [query_times, jnp.full((pad_q,), tf + 1.0 + abs(tf - t0), jnp.float32)]
+        )
+        idxs = jnp.arange(n_w)
+        starts = jnp.where(
+            idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)]
+        )
+        ends = jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1])
+        bounds_seq = jnp.stack([starts, ends], axis=1).astype(jnp.float32)  # [n_w, 2]
+        qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
+
+        def wbody(carry, xs):
+            y_in, h_in, stiff_acc, stats_acc, failed_acc = carry
+            qt_c, bnds = xs
+            yf_w, dense_w, stiff_w, stats_w, h_out = call(
+                bnds[None], qt_c, qt_c, y_in,
+                jnp.concatenate([h0_m, h_in], axis=0), p_m, f_m,
+            )
+            carry = (
+                yf_w,
+                h_out,
+                jnp.maximum(stiff_acc, stiff_w),
+                stats_acc + stats_w[:3],
+                jnp.maximum(failed_acc, stats_w[3:4]),
+            )
+            return carry, dense_w
+
+        init = (
+            y0_m,
+            h0_m,
+            jnp.zeros((1, r_total, LANES), jnp.int32),
+            jnp.zeros((3, r_total, LANES), jnp.int32),
+            jnp.zeros((1, r_total, LANES), jnp.int32),
+        )
+        (yf, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
+            wbody, init, (qt_chunks, bounds_seq)
+        )
+        dense = dense_seq.reshape(n_w * q_chunk, n_eq, r_total, LANES)
+        qp = n_w * q_chunk
 
     # Back to [S, ...] layout, dropping padding.
     yf = yf.reshape(n_eq, s_pad).T[:s_count]
-    dense_out = dense.reshape(qp, n_eq, s_pad).transpose(2, 0, 1)[:s_count]
+    dense_out = dense.reshape(qp, n_eq, s_pad).transpose(2, 0, 1)[:s_count, :q_total]
     if q_total == 0:
         dense_out = dense_out[:, :0, :]
     stiff = stiff.reshape(s_pad)[:s_count] > 0
-    stats = stats.reshape(3, s_pad)[:, :s_count]
+    failed = failed_m.reshape(s_pad)[:s_count] > 0
+    stats_m = stats_m.reshape(3, s_pad)[:, :s_count]
 
-    failed = stiff & False  # kernel folds failure into the stiff flag
     return RK45Result(
         y_final=yf,
         dense=dense_out,
         stiff=stiff,
         failed=failed,
         h0=h0,
-        stats=RKStats(n_accepted=stats[0], n_rejected=stats[1], n_attempts=stats[2]),
+        stats=RKStats(
+            n_accepted=stats_m[0], n_rejected=stats_m[1], n_attempts=stats_m[2]
+        ),
     )

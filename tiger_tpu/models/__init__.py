@@ -25,12 +25,21 @@ def register_model(cls) -> None:
     _REGISTRY[cls.UID] = cls
 
 
-def get_model(uid: int) -> Model:
-    """Instantiate the model registered under ``uid``."""
+def get_model(uid: int, **kwargs) -> Model:
+    """Instantiate the model registered under ``uid``.
+
+    ``kwargs`` are passed through when the model's dataclass declares the
+    field (e.g. ``doy0`` for Model 200's start-date-anchored day of year) and
+    silently dropped otherwise, so the driver can offer them uniformly.
+    """
     try:
-        return _REGISTRY[uid]()
+        cls = _REGISTRY[uid]
     except KeyError:
         raise KeyError(f"No model registered with uid {uid}; known: {sorted(_REGISTRY)}")
+    import dataclasses
+
+    names = {f.name for f in dataclasses.fields(cls)} if dataclasses.is_dataclass(cls) else set()
+    return cls(**{k: v for k, v in kwargs.items() if k in names})
 
 
 __all__ = [

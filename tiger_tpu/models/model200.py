@@ -37,6 +37,11 @@ class Model200:
     # TPU) has no atan/asin/acos lowering; the kernel wrapper switches this
     # on automatically (see rk45_solve_pallas).
     approx_trig: bool = False
+    # Day-of-year at t=0.  The reference hard-codes doy = 1 + t/1440
+    # (model_204.hpp:84), correct only for Jan-1 starts; the config schema
+    # says "doy is computed internally from time.start and t"
+    # (data/config.yaml:40) — the driver passes time.start's day of year.
+    doy0: float = 1.0
 
     def rhs_tuple(self, t, y, params, forcings=None) -> tuple:
         """Unstacked RHS (``y``/``forcings`` any indexables; see DummyModel)."""
@@ -52,7 +57,7 @@ class Model200:
             rainfall = forcings[0].astype(dtype) if n_forc > 0 else jnp.zeros((), dtype)
             temperature = forcings[1].astype(dtype) if n_forc > 1 else jnp.zeros((), dtype)
 
-        doy = 1.0 + t / 1440.0  # day-of-year proxy (model_204.hpp:84)
+        doy = self.doy0 + t / 1440.0  # anchored to time.start (config.yaml:40)
 
         # 1) Snow
         snowmelt = jnp.where(

@@ -92,18 +92,71 @@ def from_columns(cols: Dict[str, np.ndarray]) -> SpatialParams:
     }
 
 
-def load_spatial_params(csv_path: str) -> SpatialParams:
-    """Load the per-link parameter CSV (header-indexed, any column order).
+#: Canonical physics-column order of the reference CSV schema after the two id
+#: columns (data/small_test.csv header; parameters_loader.cpp:35-101).  Used
+#: by the positional ``local_params.columns`` mode.
+POSITIONAL_ORDER = (
+    "drainage_area_km2", "length_km", "area_sqkm", "centroid_lon",
+    "centroid_lat", "hu", "i2", "i3", "sw", "ss", "n", "slope",
+    "res_ss", "res_gw", "melt", "t_thres",
+)
+#: Columns that exist in the schema but are never read (SURVEY.md 2.5).
+_UNUSED_COLUMNS = ("area_sqkm", "centroid_lon")
 
-    Uses the native C++ fast path when available (tiger_tpu.native), falling
-    back to numpy.  Equivalent of loadSpatialParams (parameters_loader.cpp:8-107).
+
+def load_spatial_params(csv_path: str, columns: dict | None = None) -> SpatialParams:
+    """Load the per-link parameter CSV.
+
+    Default: header-indexed, any column order (loadSpatialParams,
+    parameters_loader.cpp:8-107).  With ``columns`` (the config schema's
+    ``local_params.columns``: stream_id / next_stream_id / params_start /
+    num_params, data/config.yaml:27-31) the file is read POSITIONALLY: ids
+    from the two given column indices, then ``num_params`` physics columns
+    starting at ``params_start`` in the canonical reference order
+    (POSITIONAL_ORDER); trailing columns beyond num_params default to 0.
     """
+    if columns is not None:
+        return _load_positional(csv_path, columns)
     try:
         from tiger_tpu.native import load_csv_columns
 
         cols = load_csv_columns(csv_path, REQUIRED_COLUMNS)
     except Exception:
         cols = _load_csv_numpy(csv_path)
+    return from_columns(cols)
+
+
+def _load_positional(csv_path: str, columns: dict) -> SpatialParams:
+    with open(csv_path) as f:
+        first = f.readline()
+    # Headerless files start with a numeric row; skip a header if present.
+    try:
+        float(first.split(",")[0])
+        skip = 0
+    except ValueError:
+        skip = 1
+    data = np.loadtxt(csv_path, delimiter=",", skiprows=skip, ndmin=2)
+    start = int(columns.get("params_start", 2))
+    n_par = int(columns.get("num_params", len(POSITIONAL_ORDER)))
+    if n_par > len(POSITIONAL_ORDER):
+        raise ValueError(
+            f"num_params={n_par} exceeds the {len(POSITIONAL_ORDER)}-column "
+            f"reference schema ({POSITIONAL_ORDER})"
+        )
+    if start + n_par > data.shape[1]:
+        raise ValueError(
+            f"{csv_path}: needs columns [{start}, {start + n_par}) but rows "
+            f"have only {data.shape[1]} fields"
+        )
+    cols = {
+        "stream": data[:, int(columns.get("stream_id", 0))],
+        "next_stream": data[:, int(columns.get("next_stream_id", 1))],
+    }
+    for k, name in enumerate(POSITIONAL_ORDER):
+        if k < n_par:
+            cols[name] = data[:, start + k]
+        elif name not in _UNUSED_COLUMNS:
+            cols[name] = np.zeros(data.shape[0])
     return from_columns(cols)
 
 

@@ -37,6 +37,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 class Topology(NamedTuple):
     next_idx: np.ndarray  # [S] int32; downstream link's row, -1 if none in basin
     depth: int  # longest path length (rounds needed for exact accumulation)
+    # [R, S] int32 pointer-doubling tables: row j holds each link's 2^j-th
+    # downstream row (-1 if the path ends sooner).  R = ceil(log2(depth+1)),
+    # so  acc = (I+S)(I+S^2)(I+S^4)...q  reaches every ancestor in O(log
+    # depth) scatter rounds instead of O(depth) fixpoint rounds.
+    ptr_tables: np.ndarray
 
 
 def build_topology(stream_ids: np.ndarray, next_stream_ids: np.ndarray) -> Topology:
@@ -52,18 +57,28 @@ def build_topology(stream_ids: np.ndarray, next_stream_ids: np.ndarray) -> Topol
 
     # Path length to termination via pointer doubling (host, O(S log depth)):
     # cnt[i] = hops accumulated along ptr; after round k, ptr is the 2^k-th
-    # successor (or -1 once the path end is absorbed).
+    # successor (or -1 once the path end is absorbed).  The ptr snapshots ARE
+    # the device doubling tables — collected for free.
     ptr = next_idx.astype(np.int64)
     cnt = (ptr >= 0).astype(np.int64)
+    tables = []
     rounds = 0
     while (ptr >= 0).any():
+        tables.append(ptr.astype(np.int32))
         idx = np.clip(ptr, 0, None)
         cnt = cnt + np.where(ptr >= 0, cnt[idx], 0)
         ptr = np.where(ptr >= 0, ptr[idx], -1)
         rounds += 1
         if rounds > int(np.log2(len(next_idx) + 1)) + 2:
             raise ValueError("Routing topology contains a cycle")
-    return Topology(next_idx=next_idx, depth=int(cnt.max()))
+    depth = int(cnt.max())
+    n_rounds = 0 if depth == 0 else int(np.ceil(np.log2(depth + 1)))
+    ptr_tables = (
+        np.stack(tables[:n_rounds])
+        if n_rounds
+        else np.zeros((0, len(next_idx)), np.int32)
+    )
+    return Topology(next_idx=next_idx, depth=depth, ptr_tables=ptr_tables)
 
 
 def link_runoff_204(y: jax.Array, params) -> jax.Array:
@@ -88,7 +103,10 @@ def link_runoff_204(y: jax.Array, params) -> jax.Array:
 def accumulate_downstream(q: jax.Array, next_idx: jax.Array, n_iters: int) -> jax.Array:
     """acc[v] = q[v] + sum of q over all links upstream of v (single device).
 
-    ``n_iters`` must be >= topology depth for exactness (Topology.depth).
+    O(depth) fixpoint reference implementation (acc <- q + S acc, exact after
+    ``n_iters`` >= Topology.depth rounds).  Production paths use the
+    O(log depth) ``accumulate_downstream_log``; this stays as the brute-force
+    oracle for equivalence tests.
     """
     valid = next_idx >= 0
     tgt = jnp.where(valid, next_idx, 0)
@@ -99,6 +117,25 @@ def accumulate_downstream(q: jax.Array, next_idx: jax.Array, n_iters: int) -> ja
         return q + gathered
 
     return jax.lax.fori_loop(0, n_iters, body, q)
+
+
+@jax.jit
+def accumulate_downstream_log(q: jax.Array, ptr_tables: jax.Array) -> jax.Array:
+    """acc[v] = q[v] + sum over upstream links, in O(log depth) rounds.
+
+    Uses the factorization (I + S)(I + S^2)(I + S^4)...q = sum_k S^k q: round
+    j scatter-adds the CURRENT partial sums through the 2^j-th-successor
+    table, so each of the log2(depth) rounds is one vectorized scatter — the
+    device analog of build_topology's host pointer doubling.
+    """
+
+    def body(x, ptr_row):
+        valid = ptr_row >= 0
+        tgt = jnp.where(valid, ptr_row, 0)
+        return x.at[tgt].add(jnp.where(valid, x, 0.0), mode="drop"), None
+
+    out, _ = jax.lax.scan(body, q, ptr_tables)
+    return out
 
 
 def routed_discharge(
@@ -113,11 +150,11 @@ def routed_discharge(
     network accumulation — the discharge time series at every link that the
     reference's never-implemented routing was meant to produce.
     """
-    next_idx = jnp.asarray(topo.next_idx)
+    tables = jnp.asarray(topo.ptr_tables)
 
     def per_time(y_slice):  # [S, N]
         q = link_runoff_204(y_slice, params)
-        return accumulate_downstream(q, next_idx, topo.depth)
+        return accumulate_downstream_log(q, tables)
 
     return jax.vmap(per_time, in_axes=1, out_axes=1)(dense)
 
@@ -125,67 +162,80 @@ def routed_discharge(
 class ShardedTopology(NamedTuple):
     """Per-shard static routing plan (host-precomputed, stacked over shards).
 
-    Local edges scatter within the shard; remote edges are packed into a
-    fixed-width outbox (padded with -1 targets) and ring-delivered.
+    One plan slice per pointer-doubling round (leading R axis): round j's
+    edges are u -> 2^j-th-successor(u).  Local edges scatter within the
+    shard; remote edges are packed into a fixed-width outbox (padded with -1
+    targets) and ring-delivered.  Total collective cost is
+    O(log depth * n_shards) ppermute hops vs the O(depth * n_shards) of a
+    fixpoint iteration.
     """
 
-    local_tgt: np.ndarray  # [D, B] int32: in-shard target row or -1
-    outbox_src: np.ndarray  # [D, M] int32: local row feeding outbox slot, -1 pad
-    outbox_shard: np.ndarray  # [D, M] int32: destination shard, -1 pad
-    outbox_row: np.ndarray  # [D, M] int32: destination row within shard, -1 pad
+    local_tgt: np.ndarray  # [R, D, B] int32: in-shard target row or -1
+    outbox_src: np.ndarray  # [R, D, M] int32: local row feeding outbox slot, -1 pad
+    outbox_shard: np.ndarray  # [R, D, M] int32: destination shard, -1 pad
+    outbox_row: np.ndarray  # [R, D, M] int32: destination row within shard, -1 pad
     n_shards: int
     block: int
     depth: int
+    n_rounds: int
 
 
 def plan_sharded_topology(topo: Topology, n_shards: int) -> ShardedTopology:
     """Split a Topology over ``n_shards`` contiguous row blocks (host)."""
     s_total = len(topo.next_idx)
     block = -(-s_total // n_shards)  # ceil; callers pad the batch to D*B
-    next_idx = topo.next_idx
+    n_rounds = topo.ptr_tables.shape[0]
     rows = np.arange(s_total)
     src_shard = rows // block
-    tgt_shard = np.where(next_idx >= 0, next_idx // block, -1)
-    tgt_row = np.where(next_idx >= 0, next_idx % block, -1)
 
-    local_tgt = np.full((n_shards, block), -1, np.int32)
+    local_tgt = np.full((max(n_rounds, 1), n_shards, block), -1, np.int32)
     out_src, out_shard, out_row = [], [], []
-    for d in range(n_shards):
-        mine = src_shard == d
-        local = mine & (tgt_shard == d)
-        local_tgt[d, rows[local] % block] = tgt_row[local]
-        remote = mine & (tgt_shard >= 0) & (tgt_shard != d)
-        out_src.append(rows[remote] % block)
-        out_shard.append(tgt_shard[remote])
-        out_row.append(tgt_row[remote])
-    m = max(1, max(len(x) for x in out_src))
+    for j in range(n_rounds):
+        edges = topo.ptr_tables[j]
+        tgt_shard = np.where(edges >= 0, edges // block, -1)
+        tgt_row = np.where(edges >= 0, edges % block, -1)
+        for d in range(n_shards):
+            mine = src_shard == d
+            local = mine & (tgt_shard == d)
+            local_tgt[j, d, rows[local] % block] = tgt_row[local]
+            remote = mine & (tgt_shard >= 0) & (tgt_shard != d)
+            out_src.append(rows[remote] % block)
+            out_shard.append(tgt_shard[remote])
+            out_row.append(tgt_row[remote])
+    m = max(1, max((len(x) for x in out_src), default=1))
     pad = lambda xs: np.stack(
         [np.pad(x, (0, m - len(x)), constant_values=-1).astype(np.int32) for x in xs]
-    )
+    ).reshape(n_rounds, n_shards, m)
+
+    if n_rounds == 0:
+        empty = np.full((1, n_shards, 1), -1, np.int32)
+        out_arrs = (empty, empty, empty)
+    else:
+        out_arrs = (pad(out_src), pad(out_shard), pad(out_row))
     return ShardedTopology(
         local_tgt=local_tgt,
-        outbox_src=pad(out_src),
-        outbox_shard=pad(out_shard),
-        outbox_row=pad(out_row),
+        outbox_src=out_arrs[0],
+        outbox_shard=out_arrs[1],
+        outbox_row=out_arrs[2],
         n_shards=n_shards,
         block=block,
         depth=topo.depth,
+        n_rounds=n_rounds,
     )
 
 
 def accumulate_downstream_sharded(
-    q: jax.Array, plan: ShardedTopology, mesh: Mesh, n_iters: Optional[int] = None
+    q: jax.Array, plan: ShardedTopology, mesh: Mesh
 ) -> jax.Array:
     """Multi-chip downstream accumulation: shard_map + ring ppermute delivery.
 
     ``q`` is the global [S_padded] runoff vector (S_padded = n_shards*block).
-    Each fixpoint round does the in-shard scatter, then circulates the remote
-    outboxes one full ring so every cross-shard contribution lands this round
-    (the exchange is exactly the reference's missing MPI neighbor transfer,
-    built from XLA collectives instead).
+    Each pointer-doubling round does the in-shard scatter of the current
+    partial sums, then circulates the remote outboxes one full ring so every
+    cross-shard contribution lands this round (the exchange is exactly the
+    reference's missing MPI neighbor transfer, built from XLA collectives
+    instead).  O(log depth) rounds total (see ShardedTopology).
     """
-    if n_iters is None:
-        n_iters = plan.depth
     axis = mesh.axis_names[0]
     n = plan.n_shards
     perm = [(i, (i + 1) % n) for i in range(n)]
@@ -196,25 +246,24 @@ def accumulate_downstream_sharded(
     ob_row = jnp.asarray(plan.outbox_row)
 
     def shard_body(q_blk, lt_blk, src_blk, shard_blk, row_blk):
-        q_blk, lt_blk = q_blk[0], lt_blk[0]
-        src, dst_shard, dst_row = src_blk[0], shard_blk[0], row_blk[0]
+        q_blk = q_blk[0]
         me = jax.lax.axis_index(axis)
 
-        def round_body(_, acc):
-            # In-shard scatter
-            valid_l = lt_blk >= 0
-            add_local = jnp.zeros_like(acc).at[jnp.where(valid_l, lt_blk, 0)].add(
+        def round_body(acc, xs):
+            lt_r, src, dst_shard, dst_row = (a[0] for a in xs)
+            # In-shard scatter of the CURRENT partial sums (doubling update
+            # x <- x + S_j x, not the fixpoint's q + S x).
+            valid_l = lt_r >= 0
+            add_local = jnp.zeros_like(acc).at[jnp.where(valid_l, lt_r, 0)].add(
                 jnp.where(valid_l, acc, 0.0), mode="drop"
             )
-            new_acc = q_blk + add_local
-            # Pack outbox: contribution of src rows (current acc values).
+            new_acc = acc + add_local
+            # Pack outbox: contribution of src rows (pre-round acc values).
             # Destination (shard, row) travels with the slot as one packed
             # integer payload so two ppermutes move value + address together.
             valid_o = src >= 0
             vals = jnp.where(valid_o, acc[jnp.where(valid_o, src, 0)], 0.0)
-            packed = jnp.where(
-                valid_o, dst_shard * plan.block + dst_row, -1
-            )
+            packed = jnp.where(valid_o, dst_shard * plan.block + dst_row, -1)
 
             # Ring-circulate (n-1 hops): deliver slots addressed to me.
             def hop(carry, _):
@@ -231,15 +280,19 @@ def accumulate_downstream_sharded(
             (new_acc, _, _), _ = jax.lax.scan(
                 hop, (new_acc, vals, packed), None, length=n - 1
             )
-            return new_acc
+            return new_acc, None
 
-        acc = jax.lax.fori_loop(0, n_iters, round_body, q_blk)
+        if plan.n_rounds == 0:
+            return q_blk[None]
+        acc, _ = jax.lax.scan(
+            round_body, q_blk, (lt_blk, src_blk, shard_blk, row_blk)
+        )
         return acc[None]
 
     fn = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
         out_specs=P(axis),
         check_vma=False,
     )

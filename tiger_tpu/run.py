@@ -54,11 +54,16 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     dtype = jnp.float64 if cfg.solver.precision == "f64" else jnp.float32
 
     metrics = metrics or Metrics()
-    model = get_model(cfg.model.uid)
+    # doy anchored to time.start (config.yaml:40): models that use day-of-year
+    # (Model 200's Hamon PET) receive the start date's doy.
+    doy0 = float(cfg.time.start.timetuple().tm_yday)
+    model = get_model(cfg.model.uid, doy0=doy0)
 
     # ---- load & shard spatial parameters -------------------------------
     with metrics.phase("load_params"):
-        sp_full = params_mod.load_spatial_params(cfg.params_file)
+        sp_full = params_mod.load_spatial_params(
+            cfg.params_file, columns=cfg.params_columns
+        )
         s_total = params_mod.num_systems(sp_full)
         rows = shard_rows_for_process(s_total)
         sp = params_mod.slice_rows(sp_full, rows)
@@ -67,6 +72,11 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         model_params = {
             k: jnp.asarray(v, dtype) for k, v in params_mod.model_params(sp).items()
         }
+        # global_params (config.yaml:20-22): scalars broadcast to every
+        # system; per-link CSV fields win on collision.
+        for name, value in cfg.global_params.items():
+            if name not in model_params:
+                model_params[name] = jnp.full((n_sys,), value, dtype)
 
     # ---- time span / queries -------------------------------------------
     t0, tf = 0.0, cfg.time.duration_minutes
@@ -75,18 +85,28 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
 
     # ---- forcings -------------------------------------------------------
     forcings = None
-    if cfg.forcings.files:
+    if cfg.forcings.files or (cfg.forcings.type == "folder_nc" and cfg.forcings.path):
         with metrics.phase("load_forcings"):
-            specs = [
-                ForcingSpec(
-                    path=os.path.join(cfg.forcings.path, f["file"])
-                    if not os.path.isabs(f["file"])
-                    else f["file"],
-                    var=f["var"],
-                    dt_hours=float(f["dt_hours"]),
+            if cfg.forcings.files:
+                specs = [
+                    ForcingSpec(
+                        path=os.path.join(cfg.forcings.path, f["file"])
+                        if not os.path.isabs(f["file"])
+                        else f["file"],
+                        var=f["var"],
+                        dt_hours=float(f["dt_hours"]),
+                    )
+                    for f in cfg.forcings.files
+                ]
+            else:
+                # folder_nc discovery (config.yaml:33-40): scan the folder
+                # for the named variables, infer dt from time coordinates.
+                from tiger_tpu.forcing import discover_forcings
+
+                specs = discover_forcings(
+                    cfg.forcings.path,
+                    [cfg.forcings.vars.precipitation, cfg.forcings.vars.temperature],
                 )
-                for f in cfg.forcings.files
-            ]
             forcings = load_forcings(
                 specs,
                 link_ids,
