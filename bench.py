@@ -25,6 +25,35 @@ import time
 import numpy as np
 
 
+def read_baseline(path: str, solver: str):
+    """Recorded steps/s for ``solver`` ('rk45' | 'radau'), or None.
+
+    The file holds one entry per solver so regressions in the implicit kernel
+    are tracked like the explicit one; a legacy flat record (round 1) is read
+    as the rk45 entry.
+    """
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        doc = json.load(f)
+    if "value" in doc:  # legacy flat format
+        return doc["value"] if solver == "rk45" else None
+    entry = doc.get(solver)
+    return entry.get("value") if entry else None
+
+
+def write_baseline(path: str, solver: str, record: dict) -> None:
+    doc = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+        if "value" in doc:  # migrate legacy flat format
+            doc = {"rk45": doc}
+    doc[solver] = record
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--systems", type=int, default=131_072)
@@ -42,6 +71,10 @@ def main() -> None:
         default="rk45",
         choices=["rk45", "radau"],
         help="radau benches the fused implicit kernel instead",
+    )
+    p.add_argument(
+        "--fsal", action="store_true",
+        help="rk45 kernel FSAL mode (6 rhs evals/attempt; non-parity)",
     )
     args = p.parse_args()
 
@@ -68,7 +101,7 @@ def main() -> None:
     s_count = args.systems
     tf = args.days * 1440.0
     model = Model204()
-    config = SolverConfig(rtol=1e-5, atol=1e-8, max_steps=100_000)
+    config = SolverConfig(rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal)
     y0, params, forcings = _scenario(s_count, dtype)
     qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=dtype)
     h0 = jnp.full((s_count,), 1e-3, dtype)
@@ -108,24 +141,21 @@ def main() -> None:
     n_stiff = int(np.asarray(getattr(res, "stiff", getattr(res, "failed"))).sum())
 
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
-    baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f).get("value")
+    baseline = read_baseline(baseline_path, args.solver)
     vs = (value / baseline) if baseline else 1.0
 
-    if args.record and args.solver == "rk45":  # the recorded baseline is the RK45 metric
-        with open(baseline_path, "w") as f:
-            json.dump(
-                {
-                    "value": value,
-                    "unit": "system-steps/s",
-                    "systems": s_count,
-                    "wall_s": wall,
-                    "backend": jax.devices()[0].platform,
-                },
-                f,
-            )
+    if args.record:
+        write_baseline(
+            baseline_path,
+            args.solver,
+            {
+                "value": value,
+                "unit": "system-steps/s",
+                "systems": s_count,
+                "wall_s": wall,
+                "backend": jax.devices()[0].platform,
+            },
+        )
 
     print(
         json.dumps(
@@ -139,6 +169,7 @@ def main() -> None:
                 "wall_s": wall,
                 "n_stiff": n_stiff,
                 "backend": jax.devices()[0].platform,
+                "fsal": args.fsal,
                 "solver": (
                     "radau-pallas"
                     if args.solver == "radau"

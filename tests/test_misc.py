@@ -88,12 +88,37 @@ def test_reference_parity_preset():
     np.testing.assert_allclose(np.asarray(h0), 1e-6)
 
 
+def test_bench_baseline_read_write_roundtrip(tmp_path):
+    # Per-solver baseline records (rk45 + radau) with legacy-format migration
+    # — tests the CODE paths bench.py uses, not just a committed file.
+    import json
+
+    import bench
+
+    path = str(tmp_path / "b.json")
+    assert bench.read_baseline(path, "rk45") is None
+    # Legacy flat record reads as the rk45 entry and migrates on write.
+    (tmp_path / "b.json").write_text(json.dumps({"value": 5e8, "unit": "x"}))
+    assert bench.read_baseline(path, "rk45") == 5e8
+    assert bench.read_baseline(path, "radau") is None
+    bench.write_baseline(path, "radau", {"value": 1.5e7})
+    assert bench.read_baseline(path, "rk45") == 5e8
+    assert bench.read_baseline(path, "radau") == 1.5e7
+    bench.write_baseline(path, "rk45", {"value": 6e8})
+    assert bench.read_baseline(path, "rk45") == 6e8
+    assert bench.read_baseline(path, "radau") == 1.5e7
+
+
 def test_bench_baseline_record_sane():
-    # The committed benchmark record must stay parseable and plausible; the
-    # driver compares its round-end run against it.
+    # The committed record must stay parseable and plausible; the driver
+    # compares its round-end run against it.
     import json, pathlib
 
+    import bench
+
     rec = json.loads(pathlib.Path("bench_baseline.json").read_text())
-    assert rec["unit"] == "system-steps/s"
-    assert rec["value"] > 1e6
-    assert rec["systems"] >= 1024
+    rk = rec if "value" in rec else rec["rk45"]
+    assert rk["unit"] == "system-steps/s"
+    assert rk["value"] > 1e6
+    assert rk["systems"] >= 1024
+    assert bench.read_baseline("bench_baseline.json", "rk45") == rk["value"]

@@ -272,3 +272,53 @@ def test_windowing_with_forcings_and_t0_query(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(win.dense), np.asarray(ref.dense), rtol=5e-3, atol=1e-5
     )
+
+
+def test_fsal_matches_default_at_tolerance():
+    # fsal=True reuses k7 as the next k1 (6 rhs evals/attempt instead of 7).
+    # Non-parity: trajectories agree at tolerance level with the default.
+    import dataclasses
+
+    from tests.test_model204 import NB_PARAMS
+
+    s_count = 32
+    rng = np.random.default_rng(12)
+    params = {k: jnp.full((s_count,), v, jnp.float32) for k, v in NB_PARAMS.items()}
+    pr = np.tile(rng.uniform(0, 0.0015, (1, s_count)), (24, 1)).astype(np.float32)
+    t2m = np.full((1, s_count), 7.0, np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.tile(jnp.asarray([0.01, 3.0, 0.0, 5.0, 0.2], jnp.float32), (s_count, 1))
+    h0 = jnp.full((s_count,), 1e-3, jnp.float32)
+
+    base = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, None, params, forc, h0=h0, config=CFG,
+        interpret=True,
+    )
+    fsal = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, None, params, forc, h0=h0,
+        config=dataclasses.replace(CFG, fsal=True), interpret=True,
+    )
+    mask = ~(np.asarray(base.stiff) | np.asarray(fsal.stiff))
+    np.testing.assert_allclose(
+        np.asarray(fsal.y_final)[mask], np.asarray(base.y_final)[mask],
+        rtol=5e-3, atol=1e-6,
+    )
+    # Same order of work: attempt counts comparable.
+    _assert_steps_close(fsal.stats.n_attempts, base.stats.n_attempts, mask=mask)
+
+
+def test_fsal_unforced_dummy_accuracy():
+    # Without forcing boundaries FSAL is exact DP-FSAL; must match the
+    # default kernel to integration tolerance.
+    import dataclasses
+
+    y0 = _dummy_batch(32)
+    h0 = jnp.full((32,), 0.05, jnp.float32)
+    base = rk45_solve_pallas(DummyModel(), y0, 0.0, 5.0, None, h0=h0,
+                             config=CFG, interpret=True)
+    fsal = rk45_solve_pallas(DummyModel(), y0, 0.0, 5.0, None, h0=h0,
+                             config=dataclasses.replace(CFG, fsal=True),
+                             interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fsal.y_final), np.asarray(base.y_final), rtol=2e-5, atol=1e-7
+    )

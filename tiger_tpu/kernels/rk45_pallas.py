@@ -88,6 +88,7 @@ class _Carry(NamedTuple):
     #                 otherwise drifts ~1e2 ulps, skewing forcing/dense windows
     h: jax.Array
     y: tuple  # N_EQ arrays of (R, 128) — kept 2-D; Mosaic dislikes 3-D vectors
+    k0: tuple  # FSAL carry: rhs(t, y) per lane (empty tuple when fsal off)
     reject: jax.Array  # (R, 128) int32
     stiff: jax.Array  # (R, 128) int32 (0/1: Mosaic rejects i1 vector carries)
     n_acc: jax.Array
@@ -178,12 +179,20 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         # need an (illegal) varying->replicated relayout.
         vz = y0[0] * 0.0
         vzi = vz.astype(i32)
+        if cfg.fsal:
+            f0 = None
+            if meta is not None:
+                f0 = _gather_forcings(forc_ref, meta, vz + t0_s, dtype)
+            k0_init = rhs(vz + t0_s, y0, f0)
+        else:
+            k0_init = ()
         carry0 = _Carry(
             alive=jnp.ones((), i32),
             t=vz + t0_s,
             t_c=vz,
             h=h0_ref[1],  # row 1 = current step size (carried across windows)
             y=y0,
+            k0=tuple(k0_init),
             reject=vzi,
             stiff=vzi,
             n_acc=vzi,
@@ -211,7 +220,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             if meta is not None:
                 f_vals = _gather_forcings(forc_ref, meta, t, dtype)
 
-            k0 = rhs(t, y, f_vals)
+            # FSAL: k1 comes from the carry (advanced lanes took last step's
+            # k7; rejected lanes' (t, y) are unchanged so theirs is current).
+            k0 = c.k0 if cfg.fsal else rhs(t, y, f_vals)
             ks = [k0]
             for s in range(1, 7):
                 acc = list(y)
@@ -313,6 +324,16 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             still_i = (
                 b2i(t_new < tf_s) * b2i(stiff_acc == 0) * b2i(n_att_new < cfg.max_steps)
             )
+            if cfg.fsal:
+                # k7 = rhs(t+h, y_out) with the b-row == a7-row identity of
+                # Dormand-Prince: exactly the next step's k1 for advanced
+                # lanes (modulo the per-step forcing freeze; see config).
+                k0_new = tuple(
+                    jnp.where(advance_i > 0, ks[6][i], c.k0[i])
+                    for i in range(n_eq)
+                )
+            else:
+                k0_new = ()
             return _Carry(
                 alive=jnp.max(still_i),
                 t=t_new,
@@ -321,6 +342,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 y=tuple(
                     jnp.where(advance_i > 0, y_out[i], y[i]) for i in range(n_eq)
                 ),
+                k0=k0_new,
                 reject=jnp.where(act_i > 0, reject_new, c.reject),
                 stiff=stiff_acc,
                 n_acc=c.n_acc + advance_i,

@@ -75,6 +75,16 @@ class SolverConfig:
     # per inner-loop iteration (monotone cursor per system, queries sorted).
     dense_chunk: int = 8
 
+    # FSAL (first-same-as-last): reuse stage k7 = rhs(t+h, y_out) as the next
+    # attempt's k1, cutting RHS evaluations from 7 to 6 per attempted step
+    # (the reference recomputes k1 every step, rk45_kernel.cu:114).  In the
+    # masked-SIMD kernel this is implemented by carrying k1 (rejected lanes
+    # keep theirs unchanged; advanced lanes take k7), so the saving is
+    # unconditional.  NON-PARITY: across a forcing (ZOH) boundary the reused
+    # stage holds the previous step's frozen forcing — a within-tolerance
+    # perturbation of one stage.  Pallas kernel path only.
+    fsal: bool = False
+
     # True: dense rows for query times <= t0 are prefilled with y0 (sane
     # default).  False: reference parity — such rows keep their zero
     # initialization because the CUDA kernel only fills queries strictly
