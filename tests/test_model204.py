@@ -157,3 +157,46 @@ def test_time_varying_forcing_zoh_semantics():
     np.testing.assert_allclose(np.asarray(res.y_final[0]), sol.y[:, -1], rtol=1e-2, atol=1e-6)
     # Identical lanes agree exactly.
     np.testing.assert_array_equal(np.asarray(res.y_final[0]), np.asarray(res.y_final[1]))
+
+
+def test_derived_params_rhs_equivalence():
+    # The hoisted loop-invariant forms (reciprocals, Manning coefficient)
+    # must agree with the raw per-eval math to rounding.
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 16
+    params = {
+        "c1": jnp.full(n, 0.001 / 60),
+        "infil": jnp.asarray(rng.uniform(1e-6, 1e-4, n)),
+        "perco": jnp.asarray(rng.uniform(1e-7, 5e-5, n)),
+        "Hu": jnp.asarray(rng.uniform(0.1, 200.0, n)),
+        "lat": jnp.asarray(rng.uniform(-60, 60, n)),
+        "sw": jnp.full(n, 0.2), "ss": jnp.full(n, 0.8),
+        "n_mann": jnp.asarray(rng.uniform(0.01, 0.1, n)),
+        "slope": jnp.asarray(rng.uniform(0.001, 0.2, n)),
+        "L": jnp.asarray(rng.uniform(0.1, 5.0, n)),
+        "A_h": jnp.asarray(rng.uniform(1.0, 100.0, n)),
+        # include alpha < 1 rows (drain term must be exactly zero)
+        "alpha3": jnp.asarray(np.where(rng.uniform(size=n) < 0.3, 0.5, 2880.0)),
+        "alpha4": jnp.asarray(np.where(rng.uniform(size=n) < 0.3, 0.0, 79200.0)),
+        "melt_f": jnp.full(n, 1e-4), "temp_thr": jnp.zeros(n),
+    }
+    y = tuple(jnp.asarray(rng.uniform(0, 2, n)) for _ in range(5))
+    forc = (jnp.full(n, 1e-3), jnp.full(n, 6.0))
+    for model_cls in (Model204,):
+        m = model_cls()
+        raw = m.rhs_tuple(100.0, y, params, forc)
+        drv = m.rhs_tuple(100.0, y, m.derived_params(params), forc)
+        for a, b in zip(raw, drv):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-18)
+
+    from tiger_tpu.models import Model200
+
+    m2 = Model200()
+    raw = m2.rhs_tuple(100.0, y, params, forc)
+    drv = m2.rhs_tuple(100.0, y, m2.derived_params(params), forc)
+    for a, b in zip(raw, drv):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-18)

@@ -82,9 +82,12 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         shp = (r, LANES)
         i32 = jnp.int32
 
+        p_base = {name: params_ref[i] for i, name in enumerate(param_fields)}
+        if param_fields and hasattr(model, "derived_params"):
+            p_base = model.derived_params(p_base)  # hoisted loop invariants
+
         def rhs(t, y, f_vals):
-            p = {name: params_ref[i] for i, name in enumerate(param_fields)}
-            return model.rhs_tuple(t, y, p, f_vals)
+            return model.rhs_tuple(t, y, p_base, f_vals)
 
         def b2i(m):
             return m.astype(i32)

@@ -67,10 +67,19 @@ def _pick_tile_rows(
     """
     qp = max(q_total, 1)
     per_lane = 4 * (2 * qp * n_eq + t_forc + n_params + 70)
-    for rows in (32, 16, 8):
+    for rows in _tile_row_candidates():
         if per_lane * rows * LANES <= _VMEM_BUDGET:
             return rows
     return None
+
+
+def _tile_row_candidates() -> tuple:
+    """Tile heights to try, biggest first (TT_TILE_ROWS env pins one for
+    perf experiments)."""
+    import os
+
+    override = int(os.environ.get("TT_TILE_ROWS", "0"))
+    return (override,) if override else (32, 16, 8)
 
 
 def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int = 8) -> int:
@@ -148,12 +157,19 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         shp = (r, LANES)
         i32 = jnp.int32
 
+        # Params are read once and loop-invariant derived quantities (e.g.
+        # the Manning coefficient, reciprocal storages) are hoisted out of
+        # the while-loop: the RHS runs 7x per attempted step and divides/
+        # sqrt are the expensive VPU ops.
+        p_base = {name: params_ref[i] for i, name in enumerate(param_fields)}
+        if param_fields and hasattr(model, "derived_params"):
+            p_base = model.derived_params(p_base)
+
         def rhs(t, y, f_vals):
-            p = {name: params_ref[i] for i, name in enumerate(param_fields)}
             # model.rhs_tuple consumes indexables of (R,128) blocks: every
             # "scalar" in the physics is a lane vector and vectorizes on the
             # VPU without any stacking.
-            return model.rhs_tuple(t, y, p, f_vals)
+            return model.rhs_tuple(t, y, p_base, f_vals)
 
         # Dense buffer lives in the OUTPUT ref (VMEM): the fill loop needs
         # dynamically-indexed row reads/writes, which Mosaic supports on refs
@@ -447,8 +463,8 @@ def _pallas_pipeline(
     if tile_rows is None:
         # The whole dense block cannot sit in VMEM: window the queries and
         # lax.scan the kernel over sub-intervals, carrying (y, h).
-        q_chunk = _query_window_size(n_eq, t_forc, n_par)
-        tile_rows = 8
+        tile_rows = _tile_row_candidates()[-1]
+        q_chunk = _query_window_size(n_eq, t_forc, n_par, tile_rows)
         if q_chunk < 1 or _pick_tile_rows(q_chunk, n_eq, t_forc, n_par) is None:
             raise ValueError(
                 f"forcing/params working set alone exceeds the kernel VMEM "

@@ -18,6 +18,8 @@ def hamon_pet(
     latitude: jax.Array,
     doy: jax.Array,
     approx_trig: bool = False,
+    sin_lat: jax.Array | None = None,
+    cos_lat: jax.Array | None = None,
 ) -> jax.Array:
     """Hamon potential evapotranspiration [m/min].
 
@@ -42,8 +44,14 @@ def hamon_pet(
     theta = 0.2163108 + 2.0 * arctan_f(0.9671396 * tan_f(0.00860 * (doy - 186.0)))
     phi = arcsin_f(0.39795 * jnp.cos(theta))
     pi = jnp.pi
-    num = jnp.sin(0.8333 * pi / 180.0) + jnp.sin(latitude * pi / 180.0) * jnp.sin(phi)
-    den = jnp.cos(latitude * pi / 180.0) * jnp.cos(phi)
+    # Callers on a hot path pass precomputed sin/cos of latitude (it is
+    # loop-invariant; the trig costs dozens of VPU slots per eval).
+    if sin_lat is None:
+        sin_lat = jnp.sin(latitude * pi / 180.0)
+    if cos_lat is None:
+        cos_lat = jnp.cos(latitude * pi / 180.0)
+    num = jnp.sin(0.8333 * pi / 180.0) + sin_lat * jnp.sin(phi)
+    den = cos_lat * jnp.cos(phi)
     arg = num / den
     d = (24.0 - (24.0 / pi) * arccos_f(jnp.clip(arg, -1.0, 1.0) if approx_trig else arg)) / 12.0
 

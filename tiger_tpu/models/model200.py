@@ -43,6 +43,20 @@ class Model200:
     # (data/config.yaml:40) — the driver passes time.start's day of year.
     doy0: float = 1.0
 
+    def derived_params(self, params) -> dict:
+        """Hoist loop-invariant parameter math out of the RHS (see Model204)."""
+        p = dict(params)
+        p["_manning_c"] = (
+            jnp.sqrt(p["slope"]) / p["n_mann"] * (p["L"] / p["A_h"] * 60.0)
+        )
+        p["_inv_Hu"] = 1.0 / p["Hu"]
+        p["_inv_a3"] = jnp.where(p["alpha3"] >= 1.0, 1.0 / p["alpha3"], 0.0)
+        p["_inv_a4"] = jnp.where(p["alpha4"] >= 1.0, 1.0 / p["alpha4"], 0.0)
+        rad = jnp.pi / 180.0
+        p["_sin_lat"] = jnp.sin(p["lat"] * rad)
+        p["_cos_lat"] = jnp.cos(p["lat"] * rad)
+        return p
+
     def rhs_tuple(self, t, y, params, forcings=None) -> tuple:
         """Unstacked RHS (``y``/``forcings`` any indexables; see DummyModel)."""
         P = params
@@ -71,9 +85,12 @@ class Model200:
         # 2) Static store with Hamon PET + moisture-ramp actual ET
         x2 = jnp.maximum(0.0, x1 + h_stat - P["Hu"])
         d1 = x1 - x2
-        pet = hamon_pet(temperature, P["lat"], doy, approx_trig=self.approx_trig)  # [m/min]
+        pet = hamon_pet(
+            temperature, P["lat"], doy, approx_trig=self.approx_trig,
+            sin_lat=P.get("_sin_lat"), cos_lat=P.get("_cos_lat"),
+        )  # [m/min]
         e_max = jnp.minimum(pet, h_stat)
-        s = h_stat / P["Hu"]
+        s = h_stat * P["_inv_Hu"] if "_inv_Hu" in P else h_stat / P["Hu"]
         et = et_actual(e_max, s, P["sw"], P["ss"])
         dy1 = d1 - et
 
@@ -81,17 +98,22 @@ class Model200:
         x3 = jnp.minimum(x2, P["infil"])
         d2 = x2 - x3
         h_pow = jnp.maximum(h_surf, 0.0) if self.safe_pow else h_surf
-        alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
-        w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
+        if "_manning_c" in P:
+            w = jnp.minimum(1.0, jnp.power(h_pow, 2.0 / 3.0) * P["_manning_c"])
+        else:
+            alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
+            w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
         dy2 = d2 - h_surf * w
 
         # 4) Gravitational store
         x4 = jnp.minimum(x3, P["perco"])
         d3 = x3 - x4
-        dy3 = d3 - jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
-
-        # 5) Aquifer
-        dy4 = x4 - jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
+        if "_inv_a3" in P:
+            dy3 = d3 - h_grav * P["_inv_a3"]
+            dy4 = x4 - h_aq * P["_inv_a4"]
+        else:
+            dy3 = d3 - jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
+            dy4 = x4 - jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
 
         return (dy0, dy1, dy2, dy3, dy4)
 

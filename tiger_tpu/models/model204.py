@@ -63,6 +63,25 @@ class Model204:
     # bit-level behavioral parity with the reference.
     safe_pow: bool = True
 
+    def derived_params(self, params) -> dict:
+        """Hoist loop-invariant parameter math out of the RHS.
+
+        The reference recomputes ``(1/n_mann)*sqrt(slope)``, the ``/Hu`` and
+        ``/alpha`` divisions etc. on EVERY rhs call (model_204.hpp:98-113) —
+        7 evals per attempted step; divides and sqrt are the expensive VPU
+        ops.  Solvers call this once per solve/kernel invocation; rhs_tuple
+        uses the precomputed keys when present and falls back to raw math
+        otherwise (so direct RHS calls and oracle tests are unchanged).
+        """
+        p = dict(params)
+        p["_manning_c"] = (
+            jnp.sqrt(p["slope"]) / p["n_mann"] * (p["L"] / p["A_h"] * 60.0)
+        )
+        p["_inv_Hu"] = 1.0 / p["Hu"]
+        p["_inv_a3"] = jnp.where(p["alpha3"] >= 1.0, 1.0 / p["alpha3"], 0.0)
+        p["_inv_a4"] = jnp.where(p["alpha4"] >= 1.0, 1.0 / p["alpha4"], 0.0)
+        return p
+
     def rhs_tuple(self, t, y, params, forcings=None) -> tuple:
         """Unstacked RHS (``y``/``forcings`` any indexables; see DummyModel)."""
         P = params
@@ -90,24 +109,29 @@ class Model204:
         x2 = jnp.maximum(0.0, x1 + h_stat - P["Hu"])
         d1 = x1 - x2
         e_max = jnp.minimum(0.1 * temperature, h_stat)
-        s = h_stat / P["Hu"]
+        s = h_stat * P["_inv_Hu"] if "_inv_Hu" in P else h_stat / P["Hu"]
         dy1 = d1 - s * e_max
 
         # 3) Surface store (Manning)
         x3 = jnp.minimum(x2, P["infil"])
         d2 = x2 - x3
         h_pow = jnp.maximum(h_surf, 0.0) if self.safe_pow else h_surf
-        alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
-        w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
+        if "_manning_c" in P:
+            w = jnp.minimum(1.0, jnp.power(h_pow, 2.0 / 3.0) * P["_manning_c"])
+        else:
+            alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
+            w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
         dy2 = d2 - h_surf * w
 
         # 4) Gravitational store (interflow)
         x4 = jnp.minimum(x3, P["perco"])
         d3 = x3 - x4
-        dy3 = d3 - jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
-
-        # 5) Aquifer (baseflow)
-        dy4 = x4 - jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
+        if "_inv_a3" in P:
+            dy3 = d3 - h_grav * P["_inv_a3"]
+            dy4 = x4 - h_aq * P["_inv_a4"]
+        else:
+            dy3 = d3 - jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
+            dy4 = x4 - jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
 
         return (dy0, dy1, dy2, dy3, dy4)
 

@@ -223,6 +223,9 @@ import functools
 
 @functools.partial(jax.jit, static_argnames=("model", "t0", "tf", "meta", "config"))
 def _radau_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
+    if params is not None and hasattr(model, "derived_params"):
+        params = model.derived_params(params)  # hoisted loop invariants
+
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
             return model.rhs(t, y, p_row, f_vals)

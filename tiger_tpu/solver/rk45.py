@@ -277,6 +277,11 @@ import functools
 
 def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
     """Traceable (un-jitted) batched solve — composes under shard_map/pjit."""
+    if params is not None and hasattr(model, "derived_params"):
+        # Hoist loop-invariant parameter math (reciprocals, Manning
+        # coefficient) out of the per-step RHS — computed once over the
+        # whole [S] batch before the vmap.
+        params = model.derived_params(params)
 
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
