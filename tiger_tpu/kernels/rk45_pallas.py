@@ -79,7 +79,7 @@ def _tile_row_candidates() -> tuple:
     import os
 
     override = int(os.environ.get("TT_TILE_ROWS", "0"))
-    return (override,) if override else (32, 16, 8)
+    return (override,) if override else (64, 32, 16, 8)
 
 
 def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int = 8) -> int:
@@ -87,6 +87,42 @@ def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int = 8) -> 
     per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
     qc = (per_lane_budget - t_forc - n_params - 70) // (2 * n_eq)
     return max(int(qc), 1)
+
+
+def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params):
+    """Pick (tile_rows, q_chunk|None): BIGGEST tile first, windowing queries
+    if that is what it takes.
+
+    The kernel is latency-bound on its dependent op chain (DESIGN.md
+    roofline): every vector op on an (R, 128) value issues R/8 independent
+    vreg instructions, so taller tiles hide more latency — measured 2.3x
+    going 8->32 rows and +42% going 32->64 (by windowing the dense buffer:
+    349M -> 496M steps/s on the v5e bench).  Windowing costs one clamped
+    step per boundary, which is noise for q_chunk >= 8.
+    """
+    cap = 8
+    while cap < 64 and cap * LANES < s_count:
+        cap *= 2
+    qp = max(q_total, 1)
+    per_lane = 4 * (2 * qp * n_eq + t_forc + n_params + 70)
+    for rows in _tile_row_candidates():
+        if rows > cap:
+            continue
+        if per_lane * rows * LANES <= _VMEM_BUDGET:
+            return rows, None
+        qc = _query_window_size(n_eq, t_forc, n_params, rows)
+        if q_total > 0 and qc >= 8:
+            return rows, qc
+    rows = _tile_row_candidates()[-1]
+    if q_total > 0:
+        qc = _query_window_size(n_eq, t_forc, n_params, rows)
+        if qc >= 1:
+            return rows, qc
+    raise ValueError(
+        f"forcing/params working set alone exceeds the kernel VMEM budget "
+        f"(t_forc={t_forc}, n_params={n_params}); stream the time dimension "
+        "with tiger_tpu.chunked.solve_chunked"
+    )
 
 
 class _Carry(NamedTuple):
@@ -425,10 +461,11 @@ def rk45_solve_pallas(
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data
     qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
-    if qt is not None and _pick_tile_rows(
-        qt.shape[0], n_eq, 1 if forc_data is None else forc_data.shape[0],
+    if qt is not None and _plan_tiles(
+        y0.shape[0], qt.shape[0], n_eq,
+        1 if forc_data is None else forc_data.shape[0],
         max(len(param_fields), 1),
-    ) is None:
+    )[1] is not None:
         # Query-windowed mode splits the run at query times; duplicate query
         # times would straddle a window boundary and the second copy would
         # never fill (tq > t0_w fails).  Require strictly increasing.
@@ -459,20 +496,9 @@ def _pallas_pipeline(
     t_forc = 1 if forc_data is None else forc_data.shape[0]
     n_par = max(len(param_fields), 1)
 
-    tile_rows = _pick_tile_rows(q_total, n_eq, t_forc, n_par)
-    if tile_rows is None:
-        # The whole dense block cannot sit in VMEM: window the queries and
-        # lax.scan the kernel over sub-intervals, carrying (y, h).
-        tile_rows = _tile_row_candidates()[-1]
-        q_chunk = _query_window_size(n_eq, t_forc, n_par, tile_rows)
-        if q_chunk < 1 or _pick_tile_rows(q_chunk, n_eq, t_forc, n_par) is None:
-            raise ValueError(
-                f"forcing/params working set alone exceeds the kernel VMEM "
-                f"budget (t_forc={t_forc}, n_params={n_par}); stream the time "
-                "dimension with tiger_tpu.chunked.solve_chunked"
-            )
-    else:
-        q_chunk = None
+    # Biggest tile first, windowing the dense buffer (lax.scan over query
+    # sub-intervals, carrying y and h) when that's what VMEM demands.
+    tile_rows, q_chunk = _plan_tiles(s_count, q_total, n_eq, t_forc, n_par)
     tile = tile_rows * LANES
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
