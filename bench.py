@@ -139,6 +139,12 @@ def main() -> None:
     n_attempts = int(np.asarray(res.stats.n_attempts).sum())
     value = n_attempts / wall
     n_stiff = int(np.asarray(getattr(res, "stiff", getattr(res, "failed"))).sum())
+    extra = {}
+    if getattr(res.stats, "n_newton", None) is not None:
+        n_sweeps = int(np.asarray(res.stats.n_newton).sum())
+        n_acc = int(np.asarray(res.stats.n_accepted).sum())
+        extra["newton_sweeps_per_attempt"] = round(n_sweeps / max(n_attempts, 1), 3)
+        extra["accept_ratio"] = round(n_acc / max(n_attempts, 1), 4)
 
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
     baseline = read_baseline(baseline_path, args.solver)
@@ -175,6 +181,7 @@ def main() -> None:
                     if args.solver == "radau"
                     else ("pallas" if solver_fn is rk45_solve_pallas else "xla-vmap")
                 ),
+                **extra,
             }
         )
     )

@@ -16,7 +16,10 @@ evaluations for no accuracy benefit on these mild Jacobians.  The embedded
 error weights and step controller match SolverConfig.radau_error_mode.
 
 All the Mosaic workarounds from rk45_pallas apply (i32 mask algebra, varying
-carry init, refs for dynamic indexing, 2-D-only state).
+carry init, refs for dynamic indexing, 2-D-only state), and the same
+query-windowed pipeline: when the dense block cannot fit VMEM next to the
+(3N)^2 Newton matrix, the run is split at query times and one compiled
+kernel is lax.scan-ed over sub-intervals carrying (y, h) — see _plan_tiles.
 """
 
 from __future__ import annotations
@@ -38,17 +41,70 @@ from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.radau import RadauResult, RadauStats
 
 _VMEM_BUDGET = 9 * 2**20
+_F32_EPS = float(np.finfo(np.float32).eps)
 
 
-def _pick_tile_rows(q_total: int, n_eq: int, t_forc: int, n_params: int) -> int:
-    """Tile rows fitting VMEM: the Newton matrix alone is (3*n_eq)^2 values/lane."""
-    qp = max(q_total, 1)
+def _per_lane_bytes(qp: int, n_eq: int, t_forc: int, n_params: int) -> int:
+    """Per-lane VMEM estimate: dense block counted twice (Pallas double-
+    buffers the output block across grid steps) plus the (3N)^2 Newton
+    matrix, stage/scratch values, forcings and params."""
     n_stack = 3 * n_eq
-    per_lane = 4 * (qp * n_eq + t_forc + n_params + n_stack * n_stack + 8 * n_stack + 60)
-    for rows in (16, 8):
-        if per_lane * rows * LANES <= _VMEM_BUDGET:
-            return rows
-    return 8
+    return 4 * (
+        2 * qp * n_eq + t_forc + n_params + n_stack * n_stack + 8 * n_stack + 60
+    )
+
+
+def _tile_row_candidates() -> tuple:
+    """Tile heights to try, biggest first (TT_RADAU_TILE_ROWS pins one for
+    perf experiments)."""
+    import os
+
+    override = int(os.environ.get("TT_RADAU_TILE_ROWS", "0"))
+    return (override,) if override else (64, 32, 16, 8)
+
+
+def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int) -> int:
+    """Max queries per window so an ``rows``-row tile fits the VMEM budget."""
+    per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
+    n_stack = 3 * n_eq
+    qc = (
+        per_lane_budget - t_forc - n_params - n_stack * n_stack - 8 * n_stack - 60
+    ) // (2 * n_eq)
+    return max(int(qc), 1)
+
+
+def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params):
+    """Pick (tile_rows, q_chunk|None): BIGGEST tile first, windowing queries
+    if that is what it takes.
+
+    Same latency-bound rationale as rk45_pallas._plan_tiles — the implicit
+    kernel's dependent chain (unrolled 15x15 LU + Newton sweeps) is even
+    longer than the explicit one's, so taller tiles hide more of it; the
+    Newton matrix (225 f32/lane for 5 equations) is what makes tall tiles
+    need query windowing sooner than RK45.
+    """
+    cap = 8
+    while cap < 64 and cap * LANES < s_count:
+        cap *= 2
+    qp = max(q_total, 1)
+    for rows in _tile_row_candidates():
+        if rows > cap:
+            continue
+        if _per_lane_bytes(qp, n_eq, t_forc, n_params) * rows * LANES <= _VMEM_BUDGET:
+            return rows, None
+        qc = _query_window_size(n_eq, t_forc, n_params, rows)
+        if q_total > 0 and qc >= 8:
+            return rows, qc
+    rows = _tile_row_candidates()[-1]
+    if q_total > 0:
+        qc = _query_window_size(n_eq, t_forc, n_params, rows)
+        if qc >= 1:
+            return rows, qc
+    raise ValueError(
+        f"forcing/params/Newton working set alone exceeds the kernel VMEM "
+        f"budget (t_forc={t_forc}, n_params={n_params}, n_eq={n_eq}); stream "
+        "the time dimension with tiger_tpu.chunked.solve_chunked"
+    )
 
 
 class _Carry(NamedTuple):
@@ -62,6 +118,7 @@ class _Carry(NamedTuple):
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
+    n_swp: jax.Array  # (R, 128) i32: Newton sweeps each lane sat through
 
 
 def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
@@ -73,9 +130,14 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
     expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
     n_stack = 3 * n_eq
 
-    def kernel(qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
-               yf_ref, dense_ref, failed_ref, stats_ref):
+    def kernel(bounds_smem, qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
+               yf_ref, dense_ref, failed_ref, stats_ref, hout_ref):
         dtype = y0_ref.dtype
+        # Window bounds are DYNAMIC scalars (SMEM) so the query-windowed
+        # pipeline can lax.scan one compiled kernel over sub-intervals;
+        # unwindowed calls pass (t0, tf).
+        t0_s = bounds_smem[0, 0]
+        tf_s = bounds_smem[0, 1]
         y0 = tuple(y0_ref[i] for i in range(n_eq))
         qt2 = qt_ref[...] if q_total > 0 else None
         r = y0[0].shape[0]
@@ -94,7 +156,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
         # dense init (same semantics as the RK45 kernel)
         if q_total > 0 and cfg.fill_t0_queries:
-            n_pre = jnp.sum((qt2 <= t0).astype(i32))
+            n_pre = jnp.sum((qt2 <= t0_s).astype(i32))
         else:
             n_pre = jnp.zeros((), i32)
         zero2d = jnp.zeros(shp, dtype)
@@ -111,15 +173,16 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         vzi = vz.astype(i32)
         carry0 = _Carry(
             alive=jnp.ones((), i32),
-            t=vz + t0,
+            t=vz + t0_s,
             t_c=vz,
-            h=h0_ref[0],
+            h=h0_ref[1],  # row 1 = current step size (carried across windows)
             y=y0,
             reject=vzi,
             failed=vzi,
             n_acc=vzi,
             n_rej=vzi,
             n_att=vzi,
+            n_swp=vzi,
         )
 
         def cond(c):
@@ -127,10 +190,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
         def body(c):
             act_i = (
-                b2i(c.t < tf) * b2i(c.failed == 0) * b2i(c.n_att < cfg.max_steps)
+                b2i(c.t < tf_s) * b2i(c.failed == 0) * b2i(c.n_att < cfg.max_steps)
             )
             t, y = c.t, c.y
-            h_eff = jnp.where(t + c.h > tf, tf - t, c.h)
+            h_eff = jnp.where(t + c.h > tf_s, tf_s - t, c.h)
 
             f_vals = None
             if meta is not None:
@@ -185,8 +248,21 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 return x
 
             # ---- Newton iteration on stage slopes Z (init f0) ----
+            # UNROLLED masked sweeps, by measurement: a tile-wide
+            # early-exit while_loop was tried and is ~10% SLOWER end to end
+            # (164M vs 182M steps/s on the v5e bench) because the step
+            # controller drives h to the simplified-Newton convergence limit
+            # — at the operating point lanes genuinely use 9-10 sweeps
+            # (newton_sweeps_per_attempt ~= 9.5, and work per integrated
+            # minute is minimized there), so the exit never fires and the
+            # loop carry only costs Mosaic scheduling freedom.  Convergence
+            # masking still freezes each lane's z once its delta passes the
+            # f32-aware tolerance (the configured absolute newton_tol sits
+            # below f32 delta resolution, so a relative rung at 8*eps*|z| is
+            # added); per-lane unconverged-sweep counts land in stats row 3.
             z = [f0[i % n_eq] for i in range(n_stack)]  # Z[s*n_eq+i]
-            conv_i = vzi  # per-lane converged flag
+            conv_i = jnp.minimum(1 - act_i + vzi, 1)  # inactive lanes exempt
+            n_swp_step = vzi
 
             for _ in range(cfg.newton_max_iter):
                 bvec = []
@@ -203,11 +279,16 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                         bvec.append(fs[i] - z[s * n_eq + i])
                 delta = lu_solve(bvec)
                 upd = (1 - conv_i).astype(dtype)
+                n_swp_step = n_swp_step + (1 - conv_i)
                 maxd = jnp.zeros(shp, dtype)
+                zmag = jnp.zeros(shp, dtype)
                 for a in range(n_stack):
                     z[a] = z[a] + upd * delta[a]
                     maxd = jnp.maximum(maxd, jnp.abs(delta[a]))
-                conv_i = jnp.maximum(conv_i, b2i(maxd < cfg.newton_tol))
+                    zmag = jnp.maximum(zmag, jnp.abs(z[a]))
+                tol_eff = cfg.newton_tol + (8.0 * _F32_EPS) * zmag
+                done = b2i(maxd < tol_eff) + b2i(jnp.isnan(maxd))
+                conv_i = jnp.minimum(jnp.maximum(conv_i, done), 1)
 
             # ---- step update + embedded error ----
             y_out = list(y)
@@ -275,7 +356,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             t_new = jnp.where(accept_i > 0, ks_sum, t)
             n_att_new = c.n_att + act_i
             still_i = (
-                b2i(t_new < tf) * b2i(failed_new == 0) * b2i(n_att_new < cfg.max_steps)
+                b2i(t_new < tf_s) * b2i(failed_new == 0) * b2i(n_att_new < cfg.max_steps)
             )
             return _Carry(
                 alive=jnp.max(still_i),
@@ -290,11 +371,12 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 n_acc=c.n_acc + accept_i,
                 n_rej=c.n_rej + rejected_i,
                 n_att=n_att_new,
+                n_swp=c.n_swp + n_swp_step,
             )
 
         out = lax.while_loop(cond, body, carry0)
 
-        completed = out.t >= tf
+        completed = out.t >= tf_s
         nan = jnp.asarray(jnp.nan, dtype)
         for ci in range(n_eq):
             yf_ref[ci] = jnp.where(completed, out.y[ci], nan)
@@ -302,6 +384,8 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         stats_ref[0] = out.n_acc
         stats_ref[1] = out.n_rej
         stats_ref[2] = out.n_att
+        stats_ref[3] = out.n_swp
+        hout_ref[0] = out.h
 
     return kernel
 
@@ -334,6 +418,18 @@ def radau_solve_pallas(
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data
     qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
+    if qt is not None and _plan_tiles(
+        s_count, qt.shape[0], y0.shape[1],
+        1 if forc_data is None else forc_data.shape[0],
+        max(len(param_fields), 1),
+    )[1] is not None:
+        # Query-windowed mode splits the run at query times (see rk45_pallas):
+        # duplicate query times would straddle a boundary and never fill.
+        if (np.diff(np.asarray(qt)) <= 0).any():
+            raise ValueError(
+                "query_times must be strictly increasing for query counts "
+                "large enough to trigger kernel auto-windowing"
+            )
     return _pipeline(
         model, y0, h0, params, forc_data, qt,
         float(t0), float(tf), meta, config, param_fields, bool(interpret),
@@ -351,7 +447,8 @@ def _pipeline(
     s_count, n_eq = y0.shape
     q_total = 0 if query_times is None else query_times.shape[0]
     t_forc = 1 if forc_data is None else forc_data.shape[0]
-    tile_rows = _pick_tile_rows(q_total, n_eq, t_forc, max(len(param_fields), 1))
+    n_par = max(len(param_fields), 1)
+    tile_rows, q_chunk = _plan_tiles(s_count, q_total, n_eq, t_forc, n_par)
     tile = tile_rows * LANES
     s_pad = ((s_count + tile - 1) // tile) * tile
     n_tiles = s_pad // tile
@@ -375,18 +472,18 @@ def _pipeline(
         f_m = pad_tail(forc_data, 1).reshape(-1, r_total, LANES)
     else:
         f_m = jnp.zeros((1, r_total, LANES), jnp.float32)
-    qp = max(q_total, 1)
-    qt_m = jnp.zeros((1, qp), jnp.float32)
-    if q_total > 0:
-        qt_m = query_times[None, :]
-
-    kernel = _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, config)
+    qp = max(q_total, 1) if q_chunk is None else q_chunk
+    kernel = _make_kernel(
+        model, param_fields, meta, t0, tf, n_eq,
+        q_total if q_chunk is None else q_chunk, config,
+    )
     row_map = lambda i: (0, i, 0)
     in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
@@ -396,33 +493,91 @@ def _pipeline(
             (qp, n_eq, tile_rows, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((3, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((4, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((1, r_total, LANES), jnp.float32),
     ]
 
-    yf, dense, failed, stats = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(qt_m, qt_m, y0_m, h0_m, p_m, f_m)
+    )
+
+    if q_chunk is None:
+        qt_m = jnp.zeros((1, qp), jnp.float32)
+        if q_total > 0:
+            qt_m = query_times[None, :]
+        bounds = jnp.asarray([[t0, tf]], jnp.float32)
+        h_pair = jnp.concatenate([h0_m, h0_m], axis=0)
+        yf, dense, failed, stats, _ = call(bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m)
+    else:
+        # ---- query-windowed multi-call: scan windows, carry (y, h) ----
+        # Same scheme as rk45_pallas: window i covers queries
+        # [i*Qc, (i+1)*Qc) over (prev last query, own last query]; forcing
+        # gathers use ABSOLUTE time, only the dense buffer is windowed.
+        # Failed lanes write NaN y_final per window, so failure propagates
+        # through the remaining windows' carries exactly as the unwindowed
+        # kernel's final state would.
+        n_w = -(-q_total // q_chunk)
+        pad_q = n_w * q_chunk - q_total
+        qt_flat = jnp.concatenate(
+            [query_times, jnp.full((pad_q,), tf + 1.0 + abs(tf - t0), jnp.float32)]
+        )
+        idxs = jnp.arange(n_w)
+        starts = jnp.where(idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)])
+        ends = jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1])
+        bounds_seq = jnp.stack([starts, ends], axis=1).astype(jnp.float32)
+        qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
+
+        def wbody(carry, xs):
+            y_in, h_in, failed_acc, stats_acc = carry
+            qt_c, bnds = xs
+            yf_w, dense_w, failed_w, stats_w, h_out = call(
+                bnds[None], qt_c, qt_c, y_in,
+                jnp.concatenate([h0_m, h_in], axis=0), p_m, f_m,
+            )
+            carry = (
+                yf_w,
+                h_out,
+                jnp.maximum(failed_acc, failed_w),
+                stats_acc + stats_w,
+            )
+            return carry, dense_w
+
+        init = (
+            y0_m,
+            h0_m,
+            jnp.zeros((1, r_total, LANES), jnp.int32),
+            jnp.zeros((4, r_total, LANES), jnp.int32),
+        )
+        (yf, _, failed, stats), dense_seq = lax.scan(
+            wbody, init, (qt_chunks, bounds_seq)
+        )
+        dense = dense_seq.reshape(n_w * q_chunk, n_eq, r_total, LANES)
+        qp = n_w * q_chunk
 
     yf = yf.reshape(n_eq, s_pad).T[:s_count]
-    dense_out = dense.reshape(qp, n_eq, s_pad).transpose(2, 0, 1)[:s_count]
+    dense_out = dense.reshape(qp, n_eq, s_pad).transpose(2, 0, 1)[:s_count, :q_total]
     if q_total == 0:
         dense_out = dense_out[:, :0, :]
     failed = failed.reshape(s_pad)[:s_count] > 0
-    stats = stats.reshape(3, s_pad)[:, :s_count]
+    stats = stats.reshape(4, s_pad)[:, :s_count]
     return RadauResult(
         y_final=yf,
         dense=dense_out,
         failed=failed,
-        stats=RadauStats(n_accepted=stats[0], n_rejected=stats[1], n_attempts=stats[2]),
+        stats=RadauStats(
+            n_accepted=stats[0], n_rejected=stats[1], n_attempts=stats[2],
+            n_newton=stats[3],
+        ),
     )

@@ -23,6 +23,23 @@ from tiger_tpu.solver.controller import initial_step
 from tiger_tpu.solver.radau import RadauStats, radau_solve
 from tiger_tpu.solver.rk45 import RKStats, rk45_solve
 
+# Opt-in phase attribution (benchmarks/e2e_profile.py): with TT_PHASE_PROFILE=1
+# each phase blocks on its outputs and records wall seconds here.  Off by
+# default — the syncs would serialize device/host overlap in production runs.
+import os as _os
+import time as _time
+
+_phase_times: dict = {}
+
+
+def _phase_mark(name: str, t_start: float, *block_on) -> None:
+    if not _os.environ.get("TT_PHASE_PROFILE"):
+        return
+    for a in block_on:
+        if a is not None:
+            jax.block_until_ready(a)
+    _phase_times[name] = _phase_times.get(name, 0.0) + _time.perf_counter() - t_start
+
 
 class SolveResult(NamedTuple):
     y_final: jax.Array  # [S, N]
@@ -94,7 +111,9 @@ def solve(
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"backend must be auto|pallas|xla, got {backend!r}")
 
+    t_ph = _time.perf_counter()
     h0 = initial_step(model, y0, t0, params, forcings, config)
+    _phase_mark("initial_step", t_ph, h0)
     on_tpu_f32 = (
         y0.dtype == jnp.float32
         and jax.devices()[0].platform == "tpu"
@@ -103,6 +122,7 @@ def solve(
     use_pallas = backend == "pallas" or (
         backend == "auto" and mesh is None and on_tpu_f32
     )
+    t_ph = _time.perf_counter()
     if use_pallas:
         from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
 
@@ -125,10 +145,13 @@ def solve(
         )
     else:
         rk = rk45_solve(model, y0, t0, tf, query_times, params, forcings, h0, config)
+    _phase_mark("rk_phase", t_ph, rk.y_final, rk.dense)
 
     # Count flags on device first: pulling the full [S] mask costs a
     # device->host transfer that is pure waste in the common no-stiff case.
+    t_ph = _time.perf_counter()
     n_stiff = int(jnp.sum(rk.stiff))
+    _phase_mark("stiff_count_sync", t_ph)
     n_stiff_flagged = n_stiff
     if n_stiff and not getattr(rk.stiff, "is_fully_addressable", True):
         # A cross-process global mesh makes the host compaction below
@@ -150,6 +173,7 @@ def solve(
     # lanes the device round-trip isn't worth it.)  Applies to sharded (mesh)
     # TPU runs too — the subset is host-compacted to one device either way,
     # mirroring the reference's CPU gather (rk45_api.hpp:190-203).
+    t_ph = _time.perf_counter()
     if n_stiff >= 256 and on_tpu_f32 and backend != "xla":
         from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
 
@@ -185,9 +209,11 @@ def solve(
         stiff_mask = np.zeros_like(stiff_mask)
         stiff_mask[idx0[~ok]] = True
         n_stiff_remaining = int(stiff_mask.sum())
+        _phase_mark("radau_device_rung", t_ph, y_final, dense)
     else:
         n_stiff_remaining = n_stiff
 
+    t_ph = _time.perf_counter()
     if n_stiff_remaining > 0:
         n_stiff = n_stiff_remaining
         # The stiff pass runs on CPU in float64 when the RK phase ran on an
@@ -302,6 +328,7 @@ def solve(
                     rd.failed[:n2],
                 )
                 radau_stats = getattr(rd, "stats", None)
+        _phase_mark("cpu_stiff_pass", t_ph, y_final, dense)
 
     return SolveResult(
         y_final=y_final,

@@ -44,6 +44,9 @@ class RadauStats(NamedTuple):
     n_accepted: jax.Array
     n_rejected: jax.Array
     n_attempts: jax.Array
+    # Newton sweeps each lane sat through (fused kernel only; None on the
+    # vmap path, whose per-lane iteration counts are not tracked).
+    n_newton: Optional[jax.Array] = None
 
 
 class RadauResult(NamedTuple):
