@@ -34,6 +34,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from tiger_tpu.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     from __graft_entry__ import _scenario
     from tiger_tpu.models import Model204
     from tiger_tpu.solver import solve

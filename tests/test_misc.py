@@ -122,3 +122,18 @@ def test_bench_baseline_record_sane():
     assert rk["value"] > 1e6
     assert rk["systems"] >= 1024
     assert bench.read_baseline("bench_baseline.json", "rk45") == rk["value"]
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """Persistent-cache helper: env dir honored, empty env disables."""
+    import jax
+
+    from tiger_tpu.profiling import enable_compile_cache
+
+    d = str(tmp_path / "xla_cache")
+    monkeypatch.setenv("TIGER_TPU_CACHE_DIR", d)
+    assert enable_compile_cache() == d
+    assert jax.config.jax_compilation_cache_dir == d
+
+    monkeypatch.setenv("TIGER_TPU_CACHE_DIR", "")
+    assert enable_compile_cache() is None

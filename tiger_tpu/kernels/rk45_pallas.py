@@ -48,7 +48,10 @@ from tiger_tpu.solver.rk45 import RK45Result, RKStats
 
 LANES = 128
 # Tile sizes considered by _pick_tile_rows: 32 rows = 4096 systems/tile max.
-_VMEM_BUDGET = 10 * 2**20  # leave headroom under the ~16 MB/core VMEM
+# TT_VMEM_BUDGET (bytes) overrides for tile-size experiments.
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("TT_VMEM_BUDGET", 10 * 2**20))  # ~16 MB/core VMEM
 
 
 def _pick_tile_rows(

@@ -62,6 +62,37 @@ class Metrics:
         return json.dumps(self.summary(), sort_keys=True)
 
 
+def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Point JAX's persistent compilation cache at a disk directory.
+
+    The adaptive while-loop solvers compile in O(seconds-to-minutes) on a
+    remote-attached TPU (the whole traced program ships through the runtime
+    tunnel); the reference pays the analogous nvcc cost once at build time.
+    With the persistent cache a fresh process re-running the same shapes
+    loads the serialized executable instead of recompiling.  Safe no-op if
+    the backend cannot serialize executables (JAX logs and falls through).
+
+    Honors ``TIGER_TPU_CACHE_DIR``; returns the directory used (None if
+    disabled via an empty env var).
+    """
+    import os
+
+    import jax
+
+    env = os.environ.get("TIGER_TPU_CACHE_DIR")
+    if env == "":
+        return None
+    cache_dir = env or cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "tiger_tpu", "xla_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything that took a noticeable compile: the default 1 s
+    # threshold already skips trivial kernels.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]):
     """jax.profiler trace context (no-op when log_dir is falsy)."""

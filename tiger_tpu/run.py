@@ -298,8 +298,9 @@ def main(argv: Optional[list] = None) -> int:
         )
 
     from tiger_tpu.config import load_config
-    from tiger_tpu.profiling import Metrics, trace
+    from tiger_tpu.profiling import Metrics, enable_compile_cache, trace
 
+    enable_compile_cache()
     cfg = load_config(args.config)
     metrics = Metrics()
     with trace(args.profile_dir):

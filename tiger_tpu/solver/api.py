@@ -59,6 +59,51 @@ def _bucket(n: int) -> int:
     return b
 
 
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _merge_apply(y_final, dense, failed, rows, y_part, dense_part, failed_part):
+    """Scatter the stiff-pass results back into the full-batch outputs.
+
+    ONE jitted donated call: eager ``.at[].set`` here costs seconds at
+    1M-system scale on a remote-attached TPU (each eager op round-trips the
+    runtime tunnel and copies the multi-GB dense buffer); jitted with
+    donation it is an in-place scatter.  ``rows`` is padded to a bucket size
+    with out-of-range sentinels (mode='drop') so shapes stay stable across
+    runs and the compile caches.
+    """
+    y_final = y_final.at[rows].set(y_part.astype(y_final.dtype), mode="drop")
+    dense = dense.at[rows].set(dense_part.astype(dense.dtype), mode="drop")
+    failed = failed.at[rows].set(failed_part, mode="drop")
+    return y_final, dense, failed
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _merge_gather_apply(y_final, dense, failed, rows, y_src, dense_src, rel):
+    """Device-rung variant of _merge_apply: the parts still live on the
+    accelerator, so gather them inside the same jitted program."""
+    y_part = jnp.take(y_src, rel, axis=0)
+    dense_part = jnp.take(dense_src, rel, axis=0)
+    y_final = y_final.at[rows].set(y_part.astype(y_final.dtype), mode="drop")
+    dense = dense.at[rows].set(dense_part.astype(dense.dtype), mode="drop")
+    failed = failed.at[rows].set(jnp.zeros(rows.shape, bool), mode="drop")
+    return y_final, dense, failed
+
+
+@jax.jit
+def _gather_subset_jit(y0, h0, params, forc_data, rows):
+    """Gather the stiff working set in ONE device program (the eager
+    per-field takes + per-field host pulls cost ~1 s at 1M systems)."""
+    take0 = lambda a: jnp.take(a, rows, axis=0)
+    return (
+        take0(y0),
+        take0(h0),
+        None if params is None else {k: take0(v) for k, v in params.items()},
+        None if forc_data is None else jnp.take(forc_data, rows, axis=1),
+    )
+
+
 def solve(
     model,
     y0: jax.Array,
@@ -201,10 +246,13 @@ def solve(
         ok = ~np.asarray(rdk.failed)[: len(idx0)]
         ok_rel = np.nonzero(ok)[0]
         if len(ok_rel):
-            rows = jnp.asarray(idx0[ok_rel])
-            y_final = y_final.at[rows].set(rdk.y_final[ok_rel].astype(y0.dtype))
-            dense = dense.at[rows].set(rdk.dense[ok_rel].astype(y0.dtype))
-            failed = failed.at[rows].set(False)
+            b = _bucket(len(ok_rel))
+            rel_p = np.concatenate([ok_rel, np.zeros(b - len(ok_rel), ok_rel.dtype)])
+            rows_p = np.full(b, s_count, np.int32)  # sentinel rows -> dropped
+            rows_p[: len(ok_rel)] = idx0[ok_rel]
+            y_final, dense, failed = _merge_gather_apply(
+                y_final, dense, failed, rows_p, rdk.y_final, rdk.dense, rel_p
+            )
             radau_stats = rdk.stats
         stiff_mask = np.zeros_like(stiff_mask)
         stiff_mask[idx0[~ok]] = True
@@ -230,42 +278,68 @@ def solve(
 
         x64_ctx = jax.enable_x64(True) if on_accel else contextlib.nullcontext()
 
-        def subset(arr, rows, axis=0):
-            taken = jnp.take(jnp.asarray(arr), jnp.asarray(rows), axis=axis)
-            if on_accel:
-                taken = jax.device_put(
-                    jnp.asarray(np.asarray(taken), jnp.float64), cpu
+        # Deferred merges: the stiff-pass results are scattered back in ONE
+        # jitted donated call after the retries (see _merge_apply) — eager
+        # per-retry .at[].set on the full dense buffer cost ~6 s/run at 1M
+        # systems on a remote-attached TPU.
+        pending = []
+
+        def merge(rows_abs, y_part, dense_part, failed_part):
+            pending.append(
+                (
+                    np.asarray(rows_abs, np.int64),
+                    np.asarray(y_part),
+                    np.asarray(dense_part),
+                    np.asarray(failed_part, bool),
                 )
-            return taken
+            )
 
         with x64_ctx:
+            t_sub = _time.perf_counter()
             idx = np.nonzero(stiff_mask)[0]
             bucket = _bucket(n_stiff)
             pad_idx = np.concatenate([idx, np.full(bucket - n_stiff, idx[0], idx.dtype)])
-            y0_sub = subset(y0, pad_idx)
-            h0_sub = subset(rk.h0, pad_idx)
-            qt_sub = None if query_times is None else subset(query_times,
-                np.arange(np.asarray(query_times).shape[0]))
-            params_sub = None if params is None else {
-                k: subset(v, pad_idx) for k, v in params.items()
-            }
-            forc_sub = None
-            if forcings is not None:
-                forc_sub = ForcingSet(
-                    data=subset(forcings.data, pad_idx, axis=1).astype(jnp.float32)
-                    if on_accel
-                    else forcings.data[:, pad_idx],
-                    meta=forcings.meta,
+            if on_accel:
+                # One jitted gather + one host transfer for the whole working
+                # set (the per-field eager takes cost ~1 s/run at 1M systems).
+                y0_np, h0_np, params_np, forc_np = jax.device_get(
+                    _gather_subset_jit(
+                        y0, rk.h0, params,
+                        None if forcings is None else forcings.data,
+                        pad_idx,
+                    )
                 )
-
-            def merge(rows_abs, y_part, dense_part, failed_part):
-                nonlocal y_final, dense, failed
-                rows_abs = jnp.asarray(rows_abs)
-                y_final = y_final.at[rows_abs].set(
-                    jnp.asarray(np.asarray(y_part), out_dtype)
+                put64 = lambda a: jax.device_put(np.asarray(a, np.float64), cpu)
+                y0_sub = put64(y0_np)
+                h0_sub = put64(h0_np)
+                params_sub = None if params_np is None else {
+                    k: put64(v) for k, v in params_np.items()
+                }
+                forc_sub = None
+                if forc_np is not None:
+                    forc_sub = ForcingSet(
+                        data=jax.device_put(np.asarray(forc_np, np.float32), cpu),
+                        meta=forcings.meta,
+                    )
+                qt_sub = None if query_times is None else put64(
+                    np.asarray(query_times)
                 )
-                dense = dense.at[rows_abs].set(jnp.asarray(np.asarray(dense_part), out_dtype))
-                failed = failed.at[rows_abs].set(jnp.asarray(np.asarray(failed_part)))
+            else:
+                take_rows = lambda a: jnp.take(
+                    jnp.asarray(a), jnp.asarray(pad_idx), axis=0
+                )
+                y0_sub = take_rows(y0)
+                h0_sub = take_rows(rk.h0)
+                params_sub = None if params is None else {
+                    k: take_rows(v) for k, v in params.items()
+                }
+                forc_sub = None
+                if forcings is not None:
+                    forc_sub = ForcingSet(
+                        data=forcings.data[:, pad_idx], meta=forcings.meta
+                    )
+                qt_sub = None if query_times is None else jnp.asarray(query_times)
+            _phase_mark("stiff_subset_pull", t_sub)
 
             # Dense rows for the stiff subset come from SEGMENTED integration
             # (land exactly on each query; tiger_tpu.solver.segmented): the
@@ -291,27 +365,38 @@ def solve(
             # attempt resolves them far more cheaply than implicit Radau steps.
             still_rel = np.arange(n_stiff)
             if on_accel:
+                t_sub = _time.perf_counter()
                 rk2 = run_sub("rk45", y0_sub, h0_sub, params_sub, forc_sub)
                 rk2_stiff = np.asarray(rk2.stiff)[:n_stiff]
+                _phase_mark("stiff_f64_rk_retry", t_sub)
+                t_sub = _time.perf_counter()
                 resolved_rel = np.nonzero(~rk2_stiff)[0]
                 if len(resolved_rel):
+                    # Index on the HOST: jnp fancy-indexing here creates the
+                    # index array on the default (remote) device and pays a
+                    # tunnel round trip per gather (~2 s/run observed).
                     merge(
                         idx[resolved_rel],
-                        rk2.y_final[resolved_rel],
-                        rk2.dense[resolved_rel],
-                        rk2.failed[resolved_rel],
+                        np.asarray(rk2.y_final)[resolved_rel],
+                        np.asarray(rk2.dense)[resolved_rel],
+                        np.asarray(rk2.failed)[resolved_rel],
                     )
                 still_rel = np.nonzero(rk2_stiff)[0]
+                _phase_mark("stiff_rk_merge", t_sub)
 
             if len(still_rel):
+                t_sub = _time.perf_counter()
                 n2 = len(still_rel)
                 bucket2 = _bucket(n2)
                 pad2 = np.concatenate([still_rel, np.full(bucket2 - n2, still_rel[0])])
-                take2 = lambda a: None if a is None else jnp.take(a, jnp.asarray(pad2), axis=0)
+                # Host-side indexing (see above): the working set is tiny.
+                take2 = lambda a: None if a is None else jax.device_put(
+                    np.asarray(a)[pad2], cpu
+                )
                 forc2 = None
                 if forc_sub is not None:
                     forc2 = ForcingSet(
-                        data=jnp.take(forc_sub.data, jnp.asarray(pad2), axis=1),
+                        data=jax.device_put(np.asarray(forc_sub.data)[:, pad2], cpu),
                         meta=forc_sub.meta,
                     )
                 rd = run_sub(
@@ -323,11 +408,33 @@ def solve(
                 )
                 merge(
                     idx[still_rel],
-                    rd.y_final[:n2],
-                    rd.dense[:n2],
-                    rd.failed[:n2],
+                    np.asarray(rd.y_final)[:n2],
+                    np.asarray(rd.dense)[:n2],
+                    np.asarray(rd.failed)[:n2],
                 )
                 radau_stats = getattr(rd, "stats", None)
+                _phase_mark("stiff_radau_retry", t_sub)
+
+        if pending:
+            t_sub = _time.perf_counter()
+            rows_all = np.concatenate([m[0] for m in pending])
+            n_q = dense.shape[1]
+            out_np = np.dtype(out_dtype)
+            b = _bucket(len(rows_all))
+            rows_p = np.full(b, s_count, np.int64)  # sentinels -> dropped
+            rows_p[: len(rows_all)] = rows_all
+            y_p = np.zeros((b, n_eq), out_np)
+            d_p = np.zeros((b, n_q, n_eq), out_np)
+            f_p = np.zeros(b, bool)
+            y_p[: len(rows_all)] = np.concatenate([m[1] for m in pending])
+            d_p[: len(rows_all)] = np.concatenate([m[2] for m in pending])
+            f_p[: len(rows_all)] = np.concatenate([m[3] for m in pending])
+            # numpy args go straight into the jitted call (no eager jnp
+            # conversions: those land on the default/remote device).
+            y_final, dense, failed = _merge_apply(
+                y_final, dense, failed, rows_p, y_p, d_p, f_p
+            )
+            _phase_mark("stiff_merge_apply", t_sub, y_final, dense)
         _phase_mark("cpu_stiff_pass", t_ph, y_final, dense)
 
     return SolveResult(

@@ -80,17 +80,25 @@ def segmented_solve(
     q_total = len(qt)
     dense = np.zeros((s_count, q_total, n_eq), np.asarray(y0[:1]).dtype)
 
+    # Keep every array this host loop touches COMMITTED to y0's device: in a
+    # TPU process this path runs on the CPU backend, and any uncommitted
+    # jnp creation would land on the (remote-tunneled) accelerator — 49
+    # segments of stray scalar round trips cost ~2.5 s/run at the default
+    # device's latency.  Segment bounds are passed as plain floats (traced).
+    dev = next(iter(y0.devices())) if hasattr(y0, "devices") else None
+    put = lambda a: jax.device_put(a, dev)
+
     y = y0
     t_prev = float(t0)
-    stiff_any = jnp.zeros((s_count,), bool)
-    failed_any = jnp.zeros((s_count,), bool)
-    n_att = jnp.zeros((s_count,), jnp.int32)
+    stiff_any = put(np.zeros((s_count,), bool))
+    failed_any = put(np.zeros((s_count,), bool))
+    n_att = put(np.zeros((s_count,), np.int32))
 
     def advance(y, t_a, t_b):
         nonlocal stiff_any, failed_any, n_att
         res = _segment(
             model, method, y, h0,
-            jnp.asarray(t_a, dtype), jnp.asarray(t_b, dtype),
+            float(t_a), float(t_b),
             params, forc_data, meta, config,
         )
         if method == "rk45":
@@ -118,7 +126,7 @@ def segmented_solve(
 
     return SegmentedResult(
         y_final=y,
-        dense=jnp.asarray(dense),
+        dense=put(dense),
         stiff=stiff_any,
         failed=failed_any,
         n_attempts=n_att,
