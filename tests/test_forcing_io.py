@@ -171,3 +171,23 @@ def test_csv_format_matches_204_artifacts(tmp_path, reference_dir):
     write_final_csv(str(tmp_path / "f.csv"), np.zeros((2, 5)))
     ours_f = (tmp_path / "f.csv").read_text().splitlines()
     assert ours_f[0] == ref_final[0]  # h_snow,var1,var2,var3,var4
+
+
+def test_netcdf_writer_dtype_modes(tmp_path):
+    """None preserves input precision; explicit dtype slab-converts."""
+    import h5py
+
+    from tiger_tpu.io import write_dense_netcdf
+
+    dense = np.arange(30, dtype=np.float32).reshape(3, 2, 5)
+    qt = np.array([60.0, 120.0])
+    links = np.array([7, 8, 9])
+    p32 = str(tmp_path / "d32.nc")
+    p64 = str(tmp_path / "d64.nc")
+    write_dense_netcdf(p32, dense, qt, links)
+    write_dense_netcdf(p64, dense, qt, links, dtype=np.float64)
+    with h5py.File(p32) as f:
+        assert f["outputs"].dtype == np.float32
+    with h5py.File(p64) as f:
+        assert f["outputs"].dtype == np.float64
+        np.testing.assert_allclose(f["outputs"][...], dense)

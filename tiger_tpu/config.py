@@ -82,6 +82,10 @@ class OutputInfo:
     prefix: str = "example"
     compression_level: int = 0
     format: str = "netcdf"  # "netcdf" | "csv"
+    # NetCDF variable precision: None preserves solve precision (an f32 run
+    # writes f32 — halves the multi-GB dense file); "f64" matches the
+    # reference's double `outputs` var (output_series.cpp:37).
+    precision: Optional[str] = None  # None | "f32" | "f64"
     # Also write the routed discharge hydrograph (downstream-accumulated link
     # outflow over the next_stream topology) as discharge_<prefix>_rank_N.nc.
     routed_discharge: bool = False
@@ -199,8 +203,13 @@ def load_config(path: str) -> SimulationConfig:
             prefix=str(o.get("prefix", "example")),
             compression_level=int(o.get("compression_level", 0)),
             format=str(o.get("format", "netcdf")),
+            precision=(None if o.get("precision") is None else str(o["precision"])),
             routed_discharge=bool(o.get("routed_discharge", False)),
         )
+        if cfg.output.precision not in (None, "f32", "f64"):
+            raise ValueError(
+                f"output.precision must be f32|f64, got {cfg.output.precision!r}"
+            )
         parse_interval_minutes(cfg.output.print_interval)  # validate
     if s := doc.get("solver"):
         tol = s.get("tolerances") or {}

@@ -15,6 +15,7 @@ Replaces the reference's libnetcdf usage:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import h5py
@@ -168,11 +169,35 @@ class NetCDFWriter:
         self._dims[name] = ds
         return ds
 
-    def def_var(self, name: str, data: np.ndarray, dims: tuple[str, ...], compression: int = 0, attrs: Optional[dict] = None):
+    def def_var(self, name: str, data, dims: tuple[str, ...], compression: int = 0, attrs: Optional[dict] = None, dtype=None):
+        """``data`` may be a numpy array OR a device (jax) array: device
+        arrays are pulled row-slab by row-slab straight into the dataset, so
+        the device->host transfer overlaps the disk write and the multi-GB
+        dense buffer is never fully duplicated on the host.  ``dtype``
+        converts per slab (None keeps the input dtype)."""
         kwargs = {}
-        if compression and data.ndim > 0:
+        ndim = getattr(data, "ndim", 0)
+        if compression and ndim > 0:
             kwargs = dict(compression="gzip", compression_opts=int(compression), shuffle=True)
-        ds = self._f.create_dataset(name, data=data, **kwargs)
+        is_np = isinstance(data, np.ndarray)
+        out_dtype = np.dtype(dtype) if dtype is not None else np.dtype(data.dtype)
+        if ndim > 0 and (not is_np or out_dtype != data.dtype):
+            ds = self._f.create_dataset(name, shape=data.shape, dtype=out_dtype, **kwargs)
+            row_bytes = max(int(np.prod(data.shape[1:], dtype=np.int64)) * out_dtype.itemsize, 1)
+            slab = max(128 * 2**20 // row_bytes, 1)
+            # One-slab-ahead prefetch: the device->host pull of slab i+1
+            # (tunnel-latency-bound on TPU) runs on a worker thread while
+            # slab i is being written to disk.
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                n_rows = data.shape[0]
+                nxt = ex.submit(lambda a: np.asarray(a), data[0:slab])
+                for i0 in range(0, n_rows, slab):
+                    cur = nxt.result()
+                    if i0 + slab < n_rows:
+                        nxt = ex.submit(lambda a: np.asarray(a), data[i0 + slab : i0 + 2 * slab])
+                    ds[i0 : i0 + slab] = cur
+        else:
+            ds = self._f.create_dataset(name, data=np.asarray(data), **kwargs)
         for axis, dim in enumerate(dims):
             ds.dims[axis].attach_scale(self._dims[dim])
         for k, v in (attrs or {}).items():

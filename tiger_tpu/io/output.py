@@ -29,9 +29,15 @@ def write_final_netcdf(
     link_ids: np.ndarray,  # [S]
     state_ids: Optional[np.ndarray] = None,
     compression_level: int = 0,
+    dtype=None,
 ) -> None:
-    """Final-state file: dims (system, variable).  output_series.cpp:77-124."""
-    y_final = np.asarray(y_final, np.float64)
+    """Final-state file: dims (system, variable).  output_series.cpp:77-124.
+
+    ``dtype=None`` preserves the input precision (an f32 solve writes f32 —
+    the reference's double ``outputs`` var carries no extra information
+    there and doubles the file); pass ``np.float64`` for reference-identical
+    files.  ``y_final`` may be a device array (streamed by the writer).
+    """
     s_count, n_eq = y_final.shape
     if state_ids is None:
         state_ids = np.arange(n_eq, dtype=np.int32)
@@ -40,7 +46,7 @@ def write_final_netcdf(
         w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
         w.set_dim_attrs("system", {"long_name": "LinkID"})
         w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
-        w.def_var("outputs", y_final, ("system", "variable"), compression_level)
+        w.def_var("outputs", y_final, ("system", "variable"), compression_level, dtype=dtype)
 
 
 def write_dense_netcdf(
@@ -50,9 +56,15 @@ def write_dense_netcdf(
     link_ids: np.ndarray,  # [S]
     state_ids: Optional[np.ndarray] = None,
     compression_level: int = 0,
+    dtype=None,
 ) -> None:
-    """Dense-output file: dims (system, time, variable).  output_series.cpp:18-72."""
-    dense = np.asarray(dense, np.float64)
+    """Dense-output file: dims (system, time, variable).  output_series.cpp:18-72.
+
+    ``dtype`` as in write_final_netcdf: None preserves input precision
+    (halves the multi-GB file for f32 runs), np.float64 matches the
+    reference bit layout.
+    """
+    dense = np.asarray(dense)
     s_count, n_q, n_eq = dense.shape
     if state_ids is None:
         state_ids = np.arange(n_eq, dtype=np.int32)
@@ -63,7 +75,7 @@ def write_dense_netcdf(
         w.set_dim_attrs("system", {"long_name": "LinkID"})
         w.set_dim_attrs("time", {"long_name": "Time", "units": "minutes since start of simulation"})
         w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
-        w.def_var("outputs", dense, ("system", "time", "variable"), compression_level)
+        w.def_var("outputs", dense, ("system", "time", "variable"), compression_level, dtype=dtype)
 
 
 def write_final_csv(path: str, y_final: np.ndarray, header: str = "model204") -> None:

@@ -157,13 +157,16 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     metrics.record_solve(res, time.perf_counter() - t_solve)
 
     # ---- select output states ------------------------------------------
+    # dense stays ON DEVICE: the NetCDF writer streams it to disk slab by
+    # slab, overlapping the (slow, multi-GB) device->host pull with the HDF5
+    # write instead of first duplicating it in host memory.
     y_final = np.asarray(res.y_final)
-    dense = np.asarray(res.dense)
+    dense = res.dense
     state_ids = np.arange(model.N_EQ, dtype=np.int32)
     if cfg.output.states is not None:
         state_ids = np.asarray(cfg.output.states, np.int32)
         y_final = y_final[:, state_ids]
-        dense = dense[:, :, state_ids]
+        dense = dense[:, :, jnp.asarray(state_ids)]
 
     # ---- write outputs (per-process shards, like per-rank files) -------
     proc = jax.process_index()
@@ -179,12 +182,16 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         else:
             final_path = os.path.join(outdir, f"final_{prefix}_rank_{proc}.nc")
             dense_path = os.path.join(outdir, f"dense_{prefix}_rank_{proc}.nc")
+            out_dtype = {None: None, "f32": np.float32, "f64": np.float64}[
+                cfg.output.precision
+            ]
             write_final_netcdf(
-                final_path, y_final, link_ids, state_ids, cfg.output.compression_level
+                final_path, y_final, link_ids, state_ids, cfg.output.compression_level,
+                dtype=out_dtype,
             )
             write_dense_netcdf(
                 dense_path, dense, query_times, link_ids, state_ids,
-                cfg.output.compression_level,
+                cfg.output.compression_level, dtype=out_dtype,
             )
         # Routed discharge hydrograph over the next_stream topology (the
         # routing output the reference carries data for but never computes).
