@@ -29,7 +29,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synthesize(base: str, s_count: int, seed: int = 0) -> str:
+def synthesize(base: str, s_count: int, seed: int = 0, precision: str | None = None) -> str:
     """Write params.csv, lookup.csv, pr.nc, t2m.nc, config.yaml; return cfg path."""
     from tiger_tpu.io import write_grid_forcing
 
@@ -95,7 +95,8 @@ forcings:
 output:
   print_interval: "1h"
   path: "{base}/out"
-  prefix: bench
+  prefix: bench{f'''
+  precision: {precision}''' if precision else ''}
 solver:
   method: RK45
   tolerances: {{rtol: 1.0e-5, atol: 1.0e-8, safety: 0.9, min_scale: 0.2, max_scale: 10.0}}
@@ -112,6 +113,7 @@ def main() -> None:
     p.add_argument("--systems", type=int, default=1_048_576)
     p.add_argument("--days", type=float, default=2.0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--precision", default=None, choices=["f32", "f64", "i16"])
     p.add_argument("--keep", action="store_true", help="keep the synthesized dir")
     p.add_argument("--workdir", default=None)
     args = p.parse_args()
@@ -128,7 +130,7 @@ def main() -> None:
     os.makedirs(base, exist_ok=True)
     try:
         t0 = time.perf_counter()
-        cfg_path = synthesize(base, args.systems)
+        cfg_path = synthesize(base, args.systems, precision=args.precision)
         setup_s = time.perf_counter() - t0
 
         from tiger_tpu.config import load_config

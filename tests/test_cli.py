@@ -177,3 +177,42 @@ def test_f32_tight_tolerance_warns(scenario):
         warnings.simplefilter("always")
         load_config(str(path))
     assert any("float32 rounding" in str(w.message) for w in caught)
+
+
+def test_cli_i16_packed_output(scenario, tmp_path):
+    """output.precision: i16 writes CF-packed per-state vars that decode to
+    the unpacked run's dense output within quantization error."""
+    from tiger_tpu.config import load_config
+    from tiger_tpu.run import run
+
+    cfg_ref = load_config(str(scenario["cfg_path"]))
+    cfg_ref.output.path = str(tmp_path / "ref")
+    cfg_ref.output.routed_discharge = False
+    ref = run(cfg_ref, use_mesh=False)
+
+    text = scenario["cfg_path"].read_text().replace(
+        "prefix: basin", "prefix: basin\n  precision: i16"
+    )
+    path = scenario["tmp_path"] / "i16.yaml"
+    path.write_text(text)
+    cfg = load_config(str(path))
+    assert cfg.output.precision == "i16"
+    cfg.output.path = str(tmp_path / "packed")
+    cfg.output.routed_discharge = False
+    packed = run(cfg, use_mesh=False)
+
+    with h5py.File(ref["dense_path"]) as f:
+        dense = np.asarray(f["outputs"])
+    with h5py.File(packed["dense_path"]) as f:
+        assert "outputs" not in f  # packed layout is per-state vars
+        for v in range(dense.shape[2]):
+            ds = f[f"outputs_{v}"]
+            dec = np.where(
+                ds[...] == int(ds.attrs["_FillValue"]),
+                np.nan,
+                ds[...] * float(ds.attrs["scale_factor"]) + float(ds.attrs["add_offset"]),
+            )
+            ref_v = dense[:, :, v]
+            span = max(float(ref_v.max() - ref_v.min()), 1e-30)
+            np.testing.assert_allclose(dec, ref_v, atol=span / 65532 * 0.51 + 1e-12, rtol=0)
+        np.testing.assert_array_equal(np.asarray(f["system"]), scenario["streams"])

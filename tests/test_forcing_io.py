@@ -191,3 +191,40 @@ def test_netcdf_writer_dtype_modes(tmp_path):
     with h5py.File(p64) as f:
         assert f["outputs"].dtype == np.float64
         np.testing.assert_allclose(f["outputs"][...], dense)
+
+
+def test_dense_netcdf_packed_roundtrip(tmp_path):
+    """CF int16 packing: decode error < scale/2, NaN -> _FillValue,
+    constant and all-NaN states survive, xarray-convention attrs present."""
+    import h5py
+
+    from tiger_tpu.io import write_dense_netcdf_packed
+
+    rng = np.random.default_rng(3)
+    dense = np.empty((6, 4, 4), np.float32)
+    dense[:, :, 0] = rng.uniform(-1e-9, 5e-9, (6, 4))   # tiny range
+    dense[:, :, 1] = rng.uniform(0.0, 1.8e4, (6, 4))    # big range
+    dense[:, :, 2] = 0.25                               # constant
+    dense[:, :, 3] = np.nan                             # all-NaN
+    dense[1, 2, 1] = np.nan                             # isolated NaN
+    qt = np.arange(1, 5) * 60.0
+    links = np.arange(101, 107)
+    path = str(tmp_path / "packed.nc")
+    write_dense_netcdf_packed(path, dense, qt, links)
+
+    with h5py.File(path) as f:
+        for v in range(4):
+            ds = f[f"outputs_{v}"]
+            assert ds.dtype == np.int16 and ds.shape == (6, 4)
+            scale = float(ds.attrs["scale_factor"])
+            offset = float(ds.attrs["add_offset"])
+            fill = int(ds.attrs["_FillValue"])
+            raw = ds[...]
+            dec = np.where(raw == fill, np.nan, raw * scale + offset)
+            ref = dense[:, :, v]
+            assert np.array_equal(np.isnan(dec), np.isnan(ref))
+            ok = ~np.isnan(ref)
+            if ok.any():
+                span = np.nanmax(ref) - np.nanmin(ref)
+                tol = max(span, 1e-30) / 65532.0 * 0.51 + 1e-12
+                np.testing.assert_allclose(dec[ok], ref[ok], atol=tol, rtol=0)

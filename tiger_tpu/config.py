@@ -84,8 +84,10 @@ class OutputInfo:
     format: str = "netcdf"  # "netcdf" | "csv"
     # NetCDF variable precision: None preserves solve precision (an f32 run
     # writes f32 — halves the multi-GB dense file); "f64" matches the
-    # reference's double `outputs` var (output_series.cpp:37).
-    precision: Optional[str] = None  # None | "f32" | "f64"
+    # reference's double `outputs` var (output_series.cpp:37); "i16" packs
+    # the dense output CF-style (ERA5 convention, per-state scale/offset,
+    # quantized on device) — 4x fewer bytes than f64 on wire and disk.
+    precision: Optional[str] = None  # None | "f32" | "f64" | "i16"
     # Also write the routed discharge hydrograph (downstream-accumulated link
     # outflow over the next_stream topology) as discharge_<prefix>_rank_N.nc.
     routed_discharge: bool = False
@@ -206,9 +208,9 @@ def load_config(path: str) -> SimulationConfig:
             precision=(None if o.get("precision") is None else str(o["precision"])),
             routed_discharge=bool(o.get("routed_discharge", False)),
         )
-        if cfg.output.precision not in (None, "f32", "f64"):
+        if cfg.output.precision not in (None, "f32", "f64", "i16"):
             raise ValueError(
-                f"output.precision must be f32|f64, got {cfg.output.precision!r}"
+                f"output.precision must be f32|f64|i16, got {cfg.output.precision!r}"
             )
         parse_interval_minutes(cfg.output.print_interval)  # validate
     if s := doc.get("solver"):

@@ -5,6 +5,7 @@ from tiger_tpu.io.lookup import LookupTable
 from tiger_tpu.io.output import (
     write_dense_csv,
     write_dense_netcdf,
+    write_dense_netcdf_packed,
     write_final_csv,
     write_final_netcdf,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "LookupTable",
     "write_dense_csv",
     "write_dense_netcdf",
+    "write_dense_netcdf_packed",
     "write_final_csv",
     "write_final_netcdf",
 ]

@@ -62,9 +62,9 @@ def write_dense_netcdf(
 
     ``dtype`` as in write_final_netcdf: None preserves input precision
     (halves the multi-GB file for f32 runs), np.float64 matches the
-    reference bit layout.
+    reference bit layout.  ``dense`` may be a device array — it is NOT
+    pulled here; the writer streams it slab by slab.
     """
-    dense = np.asarray(dense)
     s_count, n_q, n_eq = dense.shape
     if state_ids is None:
         state_ids = np.arange(n_eq, dtype=np.int32)
@@ -76,6 +76,77 @@ def write_dense_netcdf(
         w.set_dim_attrs("time", {"long_name": "Time", "units": "minutes since start of simulation"})
         w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
         w.def_var("outputs", dense, ("system", "time", "variable"), compression_level, dtype=dtype)
+
+
+def _pack_cf_int16(dense):
+    """Device-side CF quantization: per-state int16 codes + f32 scale/offset.
+
+    Runs under jit on the solve device so the host pull moves 2 bytes per
+    sample instead of 4/8.  Non-finite samples map to the CF fill value
+    -32767; codes use the symmetric range [-32766, 32766] so max decode
+    error is range/131064 (~7.6e-6 of the per-state dynamic range).
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(dense, jnp.float32)
+    finite = jnp.isfinite(x)
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(finite, x, big), axis=(0, 1))
+    hi = jnp.max(jnp.where(finite, x, -big), axis=(0, 1))
+    lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)  # all-NaN state: lo>hi
+    scale = jnp.maximum((hi - lo) / 65532.0, jnp.float32(1e-30))
+    offset = (hi + lo) * 0.5
+    q = jnp.clip(jnp.round((x - offset) / scale), -32766.0, 32766.0)
+    q = jnp.where(finite, q.astype(jnp.int16), jnp.int16(-32767))
+    return q, scale, offset
+
+
+def write_dense_netcdf_packed(
+    path: str,
+    dense,  # [S, Q, N] (device array welcome)
+    query_times: np.ndarray,  # [Q] minutes
+    link_ids: np.ndarray,  # [S]
+    state_ids: Optional[np.ndarray] = None,
+    compression_level: int = 0,
+) -> None:
+    """CF int16-packed dense output (``output.precision: i16``).
+
+    Same packing convention as the ERA5 forcing files the framework reads
+    (scale_factor/add_offset/_FillValue, auto-decoded by xarray/netCDF4).
+    Because scale_factor must be a scalar per NetCDF variable and the state
+    ranges differ by orders of magnitude, each state becomes its own var
+    ``outputs_<state_id>`` with dims (system, time) and its own scale —
+    unlike the unpacked layout's single (system, time, variable) var.
+    Quantization happens on device (see _pack_cf_int16): 4x fewer bytes
+    than the reference's f64 ``outputs`` over both interconnect and disk.
+    """
+    import jax
+
+    s_count, n_q, n_eq = dense.shape
+    if state_ids is None:
+        state_ids = np.arange(n_eq, dtype=np.int32)
+    q, scale, offset = jax.jit(_pack_cf_int16)(dense)
+    scale = np.asarray(scale, np.float64)
+    offset = np.asarray(offset, np.float64)
+    with NetCDFWriter(path) as w:
+        w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
+        w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
+        w.set_dim_attrs("system", {"long_name": "LinkID"})
+        w.set_dim_attrs("time", {"long_name": "Time", "units": "minutes since start of simulation"})
+        for v in range(n_eq):
+            w.def_var(
+                f"outputs_{int(state_ids[v])}",
+                q[:, :, v],
+                ("system", "time"),
+                compression_level,
+                attrs={
+                    "scale_factor": scale[v],
+                    "add_offset": offset[v],
+                    "_FillValue": np.int16(-32767),
+                    "long_name": f"state variable {int(state_ids[v])}",
+                    "units": "various units",
+                },
+            )
 
 
 def write_final_csv(path: str, y_final: np.ndarray, header: str = "model204") -> None:

@@ -42,6 +42,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     from tiger_tpu.io import (
         write_dense_csv,
         write_dense_netcdf,
+        write_dense_netcdf_packed,
         write_final_csv,
         write_final_netcdf,
     )
@@ -182,17 +183,25 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         else:
             final_path = os.path.join(outdir, f"final_{prefix}_rank_{proc}.nc")
             dense_path = os.path.join(outdir, f"dense_{prefix}_rank_{proc}.nc")
-            out_dtype = {None: None, "f32": np.float32, "f64": np.float64}[
-                cfg.output.precision
-            ]
+            out_dtype = {None: None, "f32": np.float32, "f64": np.float64,
+                         "i16": None}[cfg.output.precision]
             write_final_netcdf(
                 final_path, y_final, link_ids, state_ids, cfg.output.compression_level,
                 dtype=out_dtype,
             )
-            write_dense_netcdf(
-                dense_path, dense, query_times, link_ids, state_ids,
-                cfg.output.compression_level, dtype=out_dtype,
-            )
+            if cfg.output.precision == "i16":
+                # CF int16 packing, quantized on device: 2 bytes/sample over
+                # the interconnect and on disk (the final file above is tiny
+                # and stays at solve precision).
+                write_dense_netcdf_packed(
+                    dense_path, dense, query_times, link_ids, state_ids,
+                    cfg.output.compression_level,
+                )
+            else:
+                write_dense_netcdf(
+                    dense_path, dense, query_times, link_ids, state_ids,
+                    cfg.output.compression_level, dtype=out_dtype,
+                )
         # Routed discharge hydrograph over the next_stream topology (the
         # routing output the reference carries data for but never computes).
         if cfg.output.routed_discharge:
