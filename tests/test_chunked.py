@@ -137,6 +137,74 @@ def test_chunked_queries_survive_misaligned_interval():
     )
 
 
+def test_dense_sink_matches_accumulated(scenario, tmp_path):
+    """dense_sink streaming == the accumulated dense, bitwise; and the
+    WindowedVarWriter file equals write_dense_netcdf of the full array."""
+    import h5py
+
+    from tiger_tpu import routing
+    from tiger_tpu.io import write_dense_netcdf
+    from tiger_tpu.io.output import WindowedVarWriter
+
+    pr, t2m, params, y0 = scenario
+    n_sys = pr.shape[1]
+    stream = np.arange(1, n_sys + 1)
+    topo = routing.build_topology(stream, np.concatenate([stream[1:], [-1]]))
+    tf = 2 * 1440.0
+
+    def load_window(w_start, w_end):
+        k = int(w_start // 60)
+        kt = int(w_start // 1440)
+        return ForcingSet.from_series(
+            [pr[k : int(np.ceil(w_end / 60))], t2m[kt : int(np.ceil(w_end / 1440))]],
+            [60.0, 1440.0],
+        )
+
+    kw = dict(
+        chunk_minutes=1440.0, load_window=load_window, query_interval=360.0,
+        params=params, topology=topo,
+    )
+    ref, ref_routed = solve_chunked(Model204(), y0, 0.0, tf, **kw)
+    qt_all = np.arange(0.0, tf + 1e-9, 360.0)
+    n_q = len(qt_all)
+
+    got = np.full((n_sys, n_q, 5), np.nan, np.float64)
+    got_routed = np.full((n_sys, n_q), np.nan, np.float64)
+    seen_q0 = []
+    with WindowedVarWriter(
+        str(tmp_path / "dense.nc"), "outputs", stream, qt_all,
+        state_ids=np.arange(5, dtype=np.int32), dtype=np.float64,
+    ) as w:
+
+        def sink(q0, qt_abs, dense_blk, routed_blk):
+            seen_q0.append(q0)
+            np.testing.assert_allclose(qt_abs, qt_all[q0 : q0 + len(qt_abs)])
+            got[:, q0 : q0 + dense_blk.shape[1]] = np.asarray(dense_blk)
+            got_routed[:, q0 : q0 + routed_blk.shape[1]] = np.asarray(routed_blk)
+            w.write(q0, dense_blk)
+
+        res, routed_empty = solve_chunked(
+            Model204(), y0, 0.0, tf, dense_sink=sink, **kw
+        )
+
+    assert res.dense.shape == (n_sys, 0, 5) and routed_empty.shape == (n_sys, 0)
+    assert seen_q0 == [0, 5]  # two windows; every query covered exactly once
+    np.testing.assert_array_equal(got, np.asarray(ref.dense))
+    np.testing.assert_array_equal(got_routed, np.asarray(ref_routed))
+    np.testing.assert_array_equal(np.asarray(res.y_final), np.asarray(ref.y_final))
+
+    # The incrementally-written file is indistinguishable from a full write.
+    write_dense_netcdf(
+        str(tmp_path / "full.nc"), np.asarray(ref.dense), qt_all, stream,
+        dtype=np.float64,
+    )
+    with h5py.File(tmp_path / "dense.nc") as fa, h5py.File(tmp_path / "full.nc") as fb:
+        np.testing.assert_array_equal(fa["outputs"][...], fb["outputs"][...])
+        np.testing.assert_array_equal(fa["time"][...], fb["time"][...])
+        np.testing.assert_array_equal(fa["system"][...], fb["system"][...])
+        assert fa["outputs"].dims[1][0].name == fb["outputs"].dims[1][0].name
+
+
 def test_chunked_rejects_misaligned_forcing_dt(scenario):
     pr, t2m, params, y0 = scenario
 

@@ -50,6 +50,7 @@ def solve_chunked(
     mesh=None,
     backend: str = "auto",
     topology=None,
+    dense_sink=None,
 ):
     """Integrate [t0, tf] in windows of ``chunk_minutes``.
 
@@ -64,6 +65,14 @@ def solve_chunked(
     solve of window k+1 (the BASELINE north-star "routing exchange overlapped
     with step compute").  Returns (SolveResult, routed [S, Q]) in that case,
     else just the SolveResult.
+
+    ``dense_sink(q0, qt_abs, dense_w, routed_w)`` — when given, each window's
+    dense block (and routed block, if topology is set) is handed off instead
+    of accumulated on device, so the full [S, Q_total, N] output never
+    exists in HBM (year-scale runs; pair with io.output.WindowedVarWriter).
+    ``q0`` is the window's starting index on the global query grid, ``qt_abs``
+    its absolute query times; ``routed_w`` is None without topology.  The
+    returned result then has empty ``dense`` (and routed) arrays.
     """
     if chunk_minutes <= 0:
         raise ValueError("chunk_minutes must be positive")
@@ -126,16 +135,22 @@ def solve_chunked(
         )
         y = jnp.where(jnp.isnan(res.y_final), y, res.y_final)
         if qt is not None:
-            all_dense.append(res.dense)
+            routed_w = None
             if topology is not None:
                 # Dispatch the routing exchange for THIS window now; do not
                 # block — it executes while the next window's forcing loads
                 # and its solve is traced/dispatched.
                 from tiger_tpu.routing import routed_discharge
 
-                all_routed.append(
-                    routed_discharge(jnp.nan_to_num(res.dense), params, topology)
+                routed_w = routed_discharge(
+                    jnp.nan_to_num(res.dense), params, topology
                 )
+            if dense_sink is not None:
+                dense_sink(lo_idx, qt_abs, res.dense, routed_w)
+            else:
+                all_dense.append(res.dense)
+                if routed_w is not None:
+                    all_routed.append(routed_w)
         stiff_any = stiff_any | res.stiff
         failed_any = failed_any | res.failed
         n_stiff_total += res.n_stiff

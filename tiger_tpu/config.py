@@ -44,6 +44,12 @@ class ModelInfo:
 class TimeInfo:
     start: _dt.datetime = _dt.datetime(2000, 1, 1)
     end: _dt.datetime = _dt.datetime(2000, 1, 3)
+    # Windowed (streaming) execution: integrate chunk_days at a time, reading
+    # only that window's forcing rows and writing dense output incrementally
+    # (bounded memory at year scale — the reference's loadTimeChunk design,
+    # forcing_loader.cpp:164, actually wired up).  0 = solve the whole span
+    # in one shot.
+    chunk_days: float = 0.0
 
     @property
     def duration_minutes(self) -> float:
@@ -163,8 +169,12 @@ def load_config(path: str) -> SimulationConfig:
         cfg.model = ModelInfo(uid=int(m.get("uid", 204)), name=str(m.get("name", "")))
     if t := doc.get("time"):
         cfg.time = TimeInfo(
-            start=_parse_iso8601(str(t["start"])), end=_parse_iso8601(str(t["end"]))
+            start=_parse_iso8601(str(t["start"])),
+            end=_parse_iso8601(str(t["end"])),
+            chunk_days=float(t.get("chunk_days", 0.0)),
         )
+        if cfg.time.chunk_days < 0:
+            raise ValueError(f"time.chunk_days must be >= 0, got {cfg.time.chunk_days}")
     if i := doc.get("initial"):
         cfg.initial = InitialInfo(
             mode=str(i.get("mode", "cold")),

@@ -204,6 +204,20 @@ class NetCDFWriter:
             ds.attrs[k] = np.bytes_(v.encode()) if isinstance(v, str) else v
         return ds
 
+    def def_var_empty(self, name: str, shape: tuple, dims: tuple[str, ...], dtype, compression: int = 0, attrs: Optional[dict] = None):
+        """Define a data variable without writing values (filled later by the
+        caller slicing the returned h5py dataset) — the incremental-output
+        path for windowed/chunked runs where the full array never exists."""
+        kwargs = {}
+        if compression and len(shape) > 0:
+            kwargs = dict(compression="gzip", compression_opts=int(compression), shuffle=True)
+        ds = self._f.create_dataset(name, shape=shape, dtype=np.dtype(dtype), **kwargs)
+        for axis, dim in enumerate(dims):
+            ds.dims[axis].attach_scale(self._dims[dim])
+        for k, v in (attrs or {}).items():
+            ds.attrs[k] = np.bytes_(v.encode()) if isinstance(v, str) else v
+        return ds
+
     def set_attr(self, name: str, value):
         self._f.attrs[name] = np.bytes_(value.encode()) if isinstance(value, str) else value
 

@@ -149,6 +149,87 @@ def write_dense_netcdf_packed(
             )
 
 
+class WindowedVarWriter:
+    """Incremental NetCDF writer for windowed (chunked) runs.
+
+    Creates the dense layout of write_dense_netcdf (or the 2-D discharge
+    layout when ``state_ids is None``) with the FULL time extent up front,
+    then fills time slices window by window via :meth:`write` — the whole
+    [S, Q_total, N] array never exists anywhere (not in HBM, not in host
+    memory), which is the point of chunked solving (a year of hourly dense
+    output at 1M systems is ~175 GB).
+
+    ``write(q0, block)`` accepts device arrays; the device->host pull and the
+    HDF5 write run on a single worker thread with one window in flight, so
+    window k's output transfer overlaps window k+1's forcing load and solve
+    (same pipelining idea as NetCDFWriter.def_var's slab prefetch, but across
+    solve windows).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        var_name: str,
+        link_ids: np.ndarray,  # [S]
+        query_times: np.ndarray,  # [Q_total] minutes
+        state_ids: Optional[np.ndarray] = None,  # None -> 2-D (system, time)
+        compression_level: int = 0,
+        dtype=np.float32,
+        attrs: Optional[dict] = None,
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        s_count = len(link_ids)
+        n_q = len(query_times)
+        self._w = NetCDFWriter(path)
+        self._w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
+        self._w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
+        self._w.set_dim_attrs("system", {"long_name": "LinkID"})
+        self._w.set_dim_attrs(
+            "time", {"long_name": "Time", "units": "minutes since start of simulation"}
+        )
+        if state_ids is not None:
+            n_eq = len(state_ids)
+            self._w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
+            self._w.set_dim_attrs(
+                "variable", {"long_name": "state variable", "units": "various units"}
+            )
+            shape = (s_count, n_q, n_eq)
+            dims = ("system", "time", "variable")
+        else:
+            shape = (s_count, n_q)
+            dims = ("system", "time")
+        self._dtype = np.dtype(dtype)
+        self._ds = self._w.def_var_empty(
+            var_name, shape, dims, self._dtype, compression_level, attrs
+        )
+        self._ex = ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def write(self, q0: int, block) -> None:
+        """Fill time slice [q0, q0+block.shape[1]) (block: [S, Qw(, N)])."""
+        if self._pending is not None:
+            self._pending.result()  # backpressure: one window in flight
+
+        def pull_write(q0=q0, block=block):
+            self._ds[:, q0 : q0 + block.shape[1]] = np.asarray(block, self._dtype)
+
+        self._pending = self._ex.submit(pull_write)
+
+    def close(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+        self._ex.shutdown(wait=True)
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_final_csv(path: str, y_final: np.ndarray, header: str = "model204") -> None:
     """Legacy final CSV (main.cpp:736-752).  header='model204' -> h_snow,var1..;
     header='vars' -> Var0..Var4 (dummy artifacts)."""

@@ -86,34 +86,39 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
 
     # ---- forcings -------------------------------------------------------
     forcings = None
+    specs = None
+    chunked = cfg.time.chunk_days > 0
     if cfg.forcings.files or (cfg.forcings.type == "folder_nc" and cfg.forcings.path):
-        with metrics.phase("load_forcings"):
-            if cfg.forcings.files:
-                specs = [
-                    ForcingSpec(
-                        path=os.path.join(cfg.forcings.path, f["file"])
-                        if not os.path.isabs(f["file"])
-                        else f["file"],
-                        var=f["var"],
-                        dt_hours=float(f["dt_hours"]),
-                    )
-                    for f in cfg.forcings.files
-                ]
-            else:
-                # folder_nc discovery (config.yaml:33-40): scan the folder
-                # for the named variables, infer dt from time coordinates.
-                from tiger_tpu.forcing import discover_forcings
-
-                specs = discover_forcings(
-                    cfg.forcings.path,
-                    [cfg.forcings.vars.precipitation, cfg.forcings.vars.temperature],
+        if cfg.forcings.files:
+            specs = [
+                ForcingSpec(
+                    path=os.path.join(cfg.forcings.path, f["file"])
+                    if not os.path.isabs(f["file"])
+                    else f["file"],
+                    var=f["var"],
+                    dt_hours=float(f["dt_hours"]),
                 )
-            forcings = load_forcings(
-                specs,
-                link_ids,
-                cfg.forcings.lookup,
-                duration_days=tf / 1440.0,
+                for f in cfg.forcings.files
+            ]
+        else:
+            # folder_nc discovery (config.yaml:33-40): scan the folder
+            # for the named variables, infer dt from time coordinates.
+            from tiger_tpu.forcing import discover_forcings
+
+            specs = discover_forcings(
+                cfg.forcings.path,
+                [cfg.forcings.vars.precipitation, cfg.forcings.vars.temperature],
             )
+        if not chunked:
+            # Chunked runs never materialize the full record: each window's
+            # rows are read on demand (netcdf_window_loader below).
+            with metrics.phase("load_forcings"):
+                forcings = load_forcings(
+                    specs,
+                    link_ids,
+                    cfg.forcings.lookup,
+                    duration_days=tf / 1440.0,
+                )
 
     # ---- initial conditions --------------------------------------------
     with metrics.phase("init_state"):
@@ -140,6 +145,11 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         devs = devices or jax.local_devices()
         if len(devs) > 1:
             mesh = systems_mesh(devs)
+    if chunked:
+        return _run_chunked(
+            cfg, model, y0, t0, tf, query_times, model_params, specs,
+            link_ids, sp, mesh, backend, metrics, dtype,
+        )
     t_solve = time.perf_counter()
     with metrics.phase("solve"):
         res = solve(
@@ -271,6 +281,135 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         "num_systems": n_sys,
         "n_stiff": res.n_stiff,
         "n_failed": int(np.asarray(res.failed).sum()),
+        "final_path": final_path,
+        "dense_path": dense_path,
+        "state_path": state_path,
+        **metrics.summary(),
+    }
+
+
+def _run_chunked(
+    cfg, model, y0, t0, tf, query_times, model_params, specs,
+    link_ids, sp, mesh, backend, metrics, dtype,
+) -> dict:
+    """Windowed (streaming) execution: ``time.chunk_days`` at a time.
+
+    Forcing rows are read per window (netcdf_window_loader) and dense/routed
+    output is written incrementally (WindowedVarWriter), so memory stays
+    bounded regardless of the record length — a year of hourly forcing at 1M
+    systems streams through a few hundred MB of HBM.  The reference's
+    loadTimeChunk streaming design (forcing_loader.cpp:164), operational.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tiger_tpu import checkpoint as ckpt
+    from tiger_tpu.chunked import netcdf_window_loader, solve_chunked
+    from tiger_tpu.config import parse_interval_minutes
+    from tiger_tpu.io import write_final_netcdf
+    from tiger_tpu.io.output import WindowedVarWriter
+
+    if cfg.output.format != "netcdf":
+        raise ValueError("time.chunk_days requires output.format: netcdf")
+    if cfg.output.precision == "i16":
+        raise ValueError(
+            "output.precision i16 needs global per-state ranges and cannot "
+            "stream window by window; use f32/f64 (or solve unchunked)"
+        )
+    if cfg.output.routed_discharge and jax.process_count() > 1:
+        raise NotImplementedError(
+            "chunked + multi-process routed discharge: windows would need a "
+            "per-window cross-rank allgather; run routed output unchunked or "
+            "single-process"
+        )
+
+    interval = parse_interval_minutes(cfg.output.print_interval)
+    chunk_minutes = cfg.time.chunk_days * 1440.0
+    loader = (
+        netcdf_window_loader(specs, link_ids, cfg.forcings.lookup)
+        if specs
+        else (lambda w_start, w_end: None)
+    )
+
+    topo = None
+    if cfg.output.routed_discharge:
+        from tiger_tpu import routing
+
+        topo = routing.build_topology(sp["stream"], sp["next_stream"])
+
+    state_ids = np.arange(model.N_EQ, dtype=np.int32)
+    state_sel = None
+    if cfg.output.states is not None:
+        state_ids = np.asarray(cfg.output.states, np.int32)
+        state_sel = jnp.asarray(state_ids)
+
+    proc = jax.process_index()
+    prefix = cfg.output.prefix
+    outdir = cfg.output.path
+    os.makedirs(outdir, exist_ok=True)
+    final_path = os.path.join(outdir, f"final_{prefix}_rank_{proc}.nc")
+    dense_path = os.path.join(outdir, f"dense_{prefix}_rank_{proc}.nc")
+    out_dtype = {None: np.dtype(dtype), "f32": np.float32,
+                 "f64": np.float64}[cfg.output.precision]
+
+    import contextlib
+
+    t_solve = time.perf_counter()
+    with contextlib.ExitStack() as stack, metrics.phase("solve"):
+        dense_w = stack.enter_context(
+            WindowedVarWriter(
+                dense_path, "outputs", link_ids, query_times,
+                state_ids=state_ids, compression_level=cfg.output.compression_level,
+                dtype=out_dtype,
+            )
+        )
+        disc_w = None
+        if topo is not None:
+            discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
+            disc_w = stack.enter_context(
+                WindowedVarWriter(
+                    discharge_path, "discharge", link_ids, query_times,
+                    compression_level=cfg.output.compression_level,
+                    dtype=np.float64,
+                    attrs={"long_name": "routed downstream-accumulated outflow"},
+                )
+            )
+
+        def sink(q0, qt_abs, dense_blk, routed_blk):
+            if state_sel is not None:
+                dense_blk = dense_blk[:, :, state_sel]
+            dense_w.write(q0, dense_blk)
+            if disc_w is not None:
+                disc_w.write(q0, routed_blk)
+
+        res = solve_chunked(
+            model, y0, t0, tf, chunk_minutes, loader,
+            query_interval=interval, params=model_params,
+            config=cfg.solver_config(), mesh=mesh, backend=backend,
+            topology=topo, dense_sink=sink,
+        )
+        if topo is not None:
+            res = res[0]
+        jax.block_until_ready(res.y_final)
+    metrics.record_solve(res, time.perf_counter() - t_solve)
+
+    with metrics.phase("write_output"):
+        y_final = np.asarray(res.y_final)
+        write_final_netcdf(
+            final_path, y_final[:, state_ids], link_ids, state_ids,
+            cfg.output.compression_level,
+            dtype={None: None, "f32": np.float32, "f64": np.float64}[
+                cfg.output.precision
+            ],
+        )
+        state_path = os.path.join(outdir, f"state_{prefix}_rank_{proc}.nc")
+        ckpt.save_state(state_path, y_final, link_ids, tf)
+
+    return {
+        "num_systems": len(link_ids),
+        "n_stiff": res.n_stiff,
+        "n_failed": int(np.asarray(res.failed).sum()),
+        "n_windows": int(np.ceil((tf - t0) / chunk_minutes - 1e-9)),
         "final_path": final_path,
         "dense_path": dense_path,
         "state_path": state_path,
