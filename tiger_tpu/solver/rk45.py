@@ -134,9 +134,19 @@ def fill_dense_queries(cfg, qt, dense, next_q, next_qt, t, h, dense_eval, active
     steps being much shorter than the query spacing — is a single elementwise
     compare with no per-lane gather (gathers under vmap dominate the
     batched solvers' runtime otherwise).  Returns (dense, next_q, next_qt).
+
+    The chunk width scales with Q: under ``vmap`` every inner iteration
+    costs one masking select over the WHOLE [S, Q, N] dense carry (the
+    batched-while lane mask), so query-dominated runs (Q >> accepted steps,
+    e.g. the 10k-query DummyModel grid) must consume many queries per
+    iteration — W=8 there measured ~50x slower than W=512 at S=1024 on CPU.
+    Step-dominated runs (hourly hydrology queries) keep the small
+    ``cfg.dense_chunk``.
     """
     q_total = qt.shape[0]
     w = cfg.dense_chunk
+    if q_total // 16 > w:
+        w = min(512, 1 << (q_total // 16).bit_length())
     t1 = t + h
     i32 = next_q.dtype
 
@@ -155,9 +165,11 @@ def fill_dense_queries(cfg, qt, dense, next_q, next_qt, t, h, dense_eval, active
         valid = in_window & (tq > t)
         theta = jnp.where(valid, (tq - t) / h, 0.0).astype(d.dtype)
         yd = dense_eval(theta)  # [W, N]
-        old = d[jnp.clip(idxs, 0, q_total - 1)]
-        vals = jnp.where(valid[:, None], yd, old)
-        d = d.at[idxs].set(vals, mode="drop")
+        # Invalid slots scatter OUT OF RANGE and are dropped: reading the old
+        # rows to blend instead (gather + scatter) forces XLA to materialize
+        # a copy of the whole dense carry per inner iteration, which at
+        # Q=10k/S=1k measured ~1000x slower on CPU.
+        d = d.at[jnp.where(valid, idxs, q_total)].set(yd, mode="drop")
         q = q + jnp.sum(in_window, dtype=q.dtype)
         return d, q, q_time(q)
 
