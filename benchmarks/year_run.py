@@ -172,8 +172,16 @@ def main() -> None:
 
         import jax
 
+        from tiger_tpu.solver import api as _api
+
         out = os.path.join(base, "out")
+        extra = {}
+        if os.environ.get("TT_PHASE_PROFILE"):
+            extra["solver_phases"] = {
+                k: round(v, 3) for k, v in _api._phase_times.items()
+            }
         print(json.dumps({
+            **extra,
             "metric": "year_run_wall_s",
             "value": round(wall, 3),
             "unit": "s",

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tiger_tpu.forcing import ForcingSet
-from tiger_tpu.solver.api import SolveResult, solve
+from tiger_tpu.solver.api import SolveResult, _phase_mark, solve
 from tiger_tpu.solver.config import SolverConfig
 
 
@@ -88,75 +88,98 @@ def solve_chunked(
     n_stiff_total = 0
     rk_stats = None
 
-    for w in range(n_windows):
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _bounds(w):
         w_start = t0 + w * chunk_minutes
-        w_end = min(tf, w_start + chunk_minutes)
-        forcings = load_window(w_start, w_end)
+        return w_start, min(tf, w_start + chunk_minutes)
 
-        if w == 0 and forcings is not None:
-            # The window-relative gather equals the absolute ZOH series only
-            # when window boundaries land on forcing-sample boundaries
-            # (module docstring); validate rather than silently shifting.
-            for dt_min in forcings.meta.dt_min:
-                if abs(chunk_minutes / dt_min - round(chunk_minutes / dt_min)) > 1e-9:
-                    raise ValueError(
-                        f"chunk_minutes={chunk_minutes} is not a multiple of "
-                        f"forcing dt={dt_min} min; window-relative forcing "
-                        "gathers would diverge from the unchunked series"
-                    )
+    # Window k+1's forcing (NetCDF slab read + remap + device upload,
+    # ~1.3 s/window at 131k systems over the TPU tunnel) loads on a worker
+    # thread while window k integrates: the solve blocks the main thread on
+    # the stiff-count sync, so a serial load adds its full cost per window.
+    executor = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = executor.submit(load_window, *_bounds(0))
+        for w in range(n_windows):
+            w_start, w_end = _bounds(w)
+            t_ph = _time.perf_counter()
+            forcings = fut.result()
+            if w + 1 < n_windows:
+                fut = executor.submit(load_window, *_bounds(w + 1))
+            _phase_mark("window_forcing_wait", t_ph)
 
-        qt = None
-        if query_interval is not None:
-            # Queries in (w_start, w_end], expressed window-relative; the
-            # w == 0 window also carries the t0 query (fill_t0_queries).
-            # First index = first multiple of query_interval strictly greater
-            # than w_start (NOT w_start + query_interval, which skips queries
-            # when chunk_minutes is not a multiple of query_interval).
-            lo_idx = (
-                0 if w == 0
-                else math.floor((w_start - t0) / query_interval + 1e-9) + 1
-            )
-            hi_idx = math.floor((w_end - t0) / query_interval + 1e-9)
-            qt_abs = np.arange(lo_idx, hi_idx + 1) * query_interval + t0
-            qt = jnp.asarray(qt_abs - w_start)
-            all_qt.append(qt_abs)
+            if w == 0 and forcings is not None:
+                # The window-relative gather equals the absolute ZOH series
+                # only when window boundaries land on forcing-sample
+                # boundaries (module docstring); validate rather than
+                # silently shifting.
+                for dt_min in forcings.meta.dt_min:
+                    if abs(chunk_minutes / dt_min - round(chunk_minutes / dt_min)) > 1e-9:
+                        raise ValueError(
+                            f"chunk_minutes={chunk_minutes} is not a multiple of "
+                            f"forcing dt={dt_min} min; window-relative forcing "
+                            "gathers would diverge from the unchunked series"
+                        )
 
-        res = solve(
-            model,
-            y,
-            0.0,
-            w_end - w_start,
-            qt,
-            params=params,
-            forcings=forcings,
-            config=config,
-            mesh=mesh,
-            backend=backend,
-        )
-        y = jnp.where(jnp.isnan(res.y_final), y, res.y_final)
-        if qt is not None:
-            routed_w = None
-            if topology is not None:
-                # Dispatch the routing exchange for THIS window now; do not
-                # block — it executes while the next window's forcing loads
-                # and its solve is traced/dispatched.
-                from tiger_tpu.routing import routed_discharge
-
-                routed_w = routed_discharge(
-                    jnp.nan_to_num(res.dense), params, topology
+            qt = None
+            if query_interval is not None:
+                # Queries in (w_start, w_end], expressed window-relative; the
+                # w == 0 window also carries the t0 query (fill_t0_queries).
+                # First index = first multiple of query_interval strictly
+                # greater than w_start (NOT w_start + query_interval, which
+                # skips queries when chunk_minutes is not a multiple of
+                # query_interval).
+                lo_idx = (
+                    0 if w == 0
+                    else math.floor((w_start - t0) / query_interval + 1e-9) + 1
                 )
-            if dense_sink is not None:
-                dense_sink(lo_idx, qt_abs, res.dense, routed_w)
-            else:
-                all_dense.append(res.dense)
-                if routed_w is not None:
-                    all_routed.append(routed_w)
-        stiff_any = stiff_any | res.stiff
-        failed_any = failed_any | res.failed
-        n_stiff_total += res.n_stiff
-        rk_stats = res.rk_stats if rk_stats is None else jax.tree.map(
-            lambda a, b: a + b, rk_stats, res.rk_stats
-        )
+                hi_idx = math.floor((w_end - t0) / query_interval + 1e-9)
+                qt_abs = np.arange(lo_idx, hi_idx + 1) * query_interval + t0
+                qt = jnp.asarray(qt_abs - w_start)
+                all_qt.append(qt_abs)
+
+            res = solve(
+                model,
+                y,
+                0.0,
+                w_end - w_start,
+                qt,
+                params=params,
+                forcings=forcings,
+                config=config,
+                mesh=mesh,
+                backend=backend,
+            )
+            y = jnp.where(jnp.isnan(res.y_final), y, res.y_final)
+            if qt is not None:
+                routed_w = None
+                if topology is not None:
+                    # Dispatch the routing exchange for THIS window now; do
+                    # not block — it executes while the next window's forcing
+                    # loads and its solve is traced/dispatched.
+                    from tiger_tpu.routing import routed_discharge
+
+                    t_ph = _time.perf_counter()
+                    routed_w = routed_discharge(res.dense, params, topology)
+                    _phase_mark("window_routing_dispatch", t_ph)
+                if dense_sink is not None:
+                    t_ph = _time.perf_counter()
+                    dense_sink(lo_idx, qt_abs, res.dense, routed_w)
+                    _phase_mark("window_dense_sink", t_ph)
+                else:
+                    all_dense.append(res.dense)
+                    if routed_w is not None:
+                        all_routed.append(routed_w)
+            stiff_any = stiff_any | res.stiff
+            failed_any = failed_any | res.failed
+            n_stiff_total += res.n_stiff
+            rk_stats = res.rk_stats if rk_stats is None else jax.tree.map(
+                lambda a, b: a + b, rk_stats, res.rk_stats
+            )
+    finally:
+        executor.shutdown(wait=True)
 
     dense = (
         jnp.concatenate(all_dense, axis=1)

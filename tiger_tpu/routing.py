@@ -138,25 +138,45 @@ def accumulate_downstream_log(q: jax.Array, ptr_tables: jax.Array) -> jax.Array:
     return out
 
 
+@jax.jit
+def _routed_discharge_jit(dense, params, tables):
+    def per_time(y_slice):  # [S, N]
+        q = link_runoff_204(jnp.nan_to_num(y_slice), params)
+        return accumulate_downstream_log(q, tables)
+
+    return jax.vmap(per_time, in_axes=1, out_axes=1)(dense)
+
+
+#: One-slot device cache for Topology.ptr_tables: chunked runs call
+#: routed_discharge once per window with the SAME topology — re-uploading the
+#: [rounds, S] tables (5-9 MB at 131k links) every window costs more than the
+#: routing itself on a remote-tunneled device.
+_tables_cache: tuple = (None, None)
+
+
+def _device_tables(topo: Topology) -> jax.Array:
+    global _tables_cache
+    key = id(topo.ptr_tables)
+    if _tables_cache[0] != key:
+        _tables_cache = (key, jnp.asarray(topo.ptr_tables))
+    return _tables_cache[1]
+
+
 def routed_discharge(
     dense: jax.Array,  # [S, Q, N] dense state output
     params,  # SoA dict with the Model-204 hydraulic fields
     topo: Topology,
 ) -> jax.Array:
     """Routed hydrograph [S, Q]: downstream-accumulated link outflow at each
-    query time.
+    query time (NaN states — unfinished lanes — contribute zero).
 
     Combines link_runoff_204 (local outflow from the stores) with the
     network accumulation — the discharge time series at every link that the
-    reference's never-implemented routing was meant to produce.
+    reference's never-implemented routing was meant to produce.  One jitted
+    computation: an un-jitted version dispatched ~10 eager ops per call,
+    each a device round trip (~2.3 s/window over the TPU tunnel).
     """
-    tables = jnp.asarray(topo.ptr_tables)
-
-    def per_time(y_slice):  # [S, N]
-        q = link_runoff_204(y_slice, params)
-        return accumulate_downstream_log(q, tables)
-
-    return jax.vmap(per_time, in_axes=1, out_axes=1)(dense)
+    return _routed_discharge_jit(dense, params, _device_tables(topo))
 
 
 class ShardedTopology(NamedTuple):

@@ -255,9 +255,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
             else:
                 topo = routing.build_topology(sp["stream"], sp["next_stream"])
                 q_routed = np.asarray(
-                    routing.routed_discharge(
-                        jnp.nan_to_num(res.dense), model_params, topo
-                    )
+                    routing.routed_discharge(res.dense, model_params, topo)
                 )
             discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
             with NetCDFWriter(discharge_path) as w:
