@@ -212,21 +212,26 @@ def solve(
     failed = rk.failed
     radau_stats = None
 
-    # Stiff-heavy accelerator runs: re-integrate the flagged subset with the
-    # fused Radau kernel ON DEVICE first; only its failures fall through to
-    # the CPU float64 pipeline below.  (For the usual handful of flagged
-    # lanes the device round-trip isn't worth it.)  Applies to sharded (mesh)
-    # TPU runs too — the subset is host-compacted to one device either way,
-    # mirroring the reference's CPU gather (rk45_api.hpp:190-203).
+    # Accelerator runs with flagged lanes: re-integrate the flagged subset
+    # with the fused Radau kernel ON DEVICE first; only its failures fall
+    # through to the CPU float64 pipeline below.  Even a handful of lanes
+    # goes through the kernel: on a remote-attached TPU the CPU pipeline's
+    # pulls + f64 retries cost ~1 s per solve (measured 38 s of a 64-window
+    # streamed year), vs ~50 ms for the padded kernel call.  Applies to
+    # sharded (mesh) TPU runs too — the subset is host-compacted to one
+    # device either way, mirroring the reference's CPU gather
+    # (rk45_api.hpp:190-203).
     t_ph = _time.perf_counter()
-    if n_stiff >= 256 and on_tpu_f32 and backend != "xla":
+    if n_stiff >= 1 and on_tpu_f32 and backend != "xla":
         from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
 
         idx0 = np.nonzero(stiff_mask)[0]
-        # Bucketed padding: subset sizes drift run to run, and every new shape
-        # would re-trigger a (minutes-long) Mosaic compile.
+        # Bucketed padding, floored at 256: subset sizes drift run to run and
+        # window to window, and every new shape would re-trigger a
+        # (minutes-long) Mosaic compile — the floor makes small counts (the
+        # common case in streamed runs) share ONE compiled shape.
         pad0 = np.concatenate(
-            [idx0, np.full(_bucket(len(idx0)) - len(idx0), idx0[0], idx0.dtype)]
+            [idx0, np.full(max(_bucket(len(idx0)), 256) - len(idx0), idx0[0], idx0.dtype)]
         )
         gather0 = lambda a, ax=0: jnp.take(jnp.asarray(a), jnp.asarray(pad0), axis=ax)
         forc0 = None
