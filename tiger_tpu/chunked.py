@@ -99,7 +99,13 @@ def solve_chunked(
     # ~1.3 s/window at 131k systems over the TPU tunnel) loads on a worker
     # thread while window k integrates: the solve blocks the main thread on
     # the stiff-count sync, so a serial load adds its full cost per window.
+    # Symmetrically, window k's dense/routed device->host pull + NetCDF write
+    # (dense_sink) runs on its own worker thread: issued from the main thread
+    # it lands exactly in the gap where the device is idle between windows.
+    # One worker each keeps both pipelines FIFO-ordered.
     executor = ThreadPoolExecutor(max_workers=1)
+    sink_executor = ThreadPoolExecutor(max_workers=1)
+    sink_fut = None
     try:
         fut = executor.submit(load_window, *_bounds(0))
         for w in range(n_windows):
@@ -166,7 +172,11 @@ def solve_chunked(
                     _phase_mark("window_routing_dispatch", t_ph)
                 if dense_sink is not None:
                     t_ph = _time.perf_counter()
-                    dense_sink(lo_idx, qt_abs, res.dense, routed_w)
+                    if sink_fut is not None:
+                        sink_fut.result()  # propagate writer errors in order
+                    sink_fut = sink_executor.submit(
+                        dense_sink, lo_idx, qt_abs, res.dense, routed_w
+                    )
                     _phase_mark("window_dense_sink", t_ph)
                 else:
                     all_dense.append(res.dense)
@@ -178,8 +188,11 @@ def solve_chunked(
             rk_stats = res.rk_stats if rk_stats is None else jax.tree.map(
                 lambda a, b: a + b, rk_stats, res.rk_stats
             )
+        if sink_fut is not None:
+            sink_fut.result()
     finally:
         executor.shutdown(wait=True)
+        sink_executor.shutdown(wait=True)
 
     dense = (
         jnp.concatenate(all_dense, axis=1)
