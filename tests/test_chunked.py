@@ -216,3 +216,89 @@ def test_chunked_rejects_misaligned_forcing_dt(scenario):
             Model204(), y0, 0.0, 2880.0, chunk_minutes=90.0,
             load_window=load_window, params=params,
         )
+
+
+def test_crash_resume_bitwise(tmp_path, monkeypatch):
+    """Kill a chunked CLI run mid-stream, resume from the periodic checkpoint,
+    and get outputs bitwise-identical to an uninterrupted run."""
+    import h5py
+
+    from tests.test_cli import make_scenario
+    from tiger_tpu import chunked as chunked_mod
+    from tiger_tpu.config import load_config
+    from tiger_tpu.run import run
+
+    sc = make_scenario(tmp_path)
+
+    def cfg_for(outdir, **initial):
+        cfg = load_config(str(sc["cfg_path"]))
+        cfg.time.chunk_days = 1.0
+        cfg.output.checkpoint_interval = "1d"
+        cfg.output.path = str(tmp_path / outdir)
+        if initial:
+            for k, v in initial.items():
+                setattr(cfg.initial, k, v)
+        return cfg
+
+    # Reference: uninterrupted chunked run (2 days = 2 windows).
+    run(cfg_for("ref"), use_mesh=False)
+
+    # Crash: the second window's solve dies after the first window's
+    # checkpoint (t=1440) has been written.
+    real_solve = chunked_mod.solve
+    calls = {"n": 0}
+
+    def dying_solve(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real_solve(*a, **kw)
+
+    monkeypatch.setattr(chunked_mod, "solve", dying_solve)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run(cfg_for("crashed"), use_mesh=False)
+    monkeypatch.setattr(chunked_mod, "solve", real_solve)
+
+    state_path = tmp_path / "crashed" / "state_basin_rank_0.nc"
+    assert state_path.exists()
+    with h5py.File(state_path) as f:
+        assert f.attrs["sim_time_minutes"] == 1440.0
+
+    # Resume from the checkpoint into the SAME output files.
+    run(
+        cfg_for("crashed", mode="hot", file=str(state_path), resume=True),
+        use_mesh=False,
+    )
+
+    for name in ("dense_basin_rank_0.nc", "discharge_basin_rank_0.nc",
+                 "final_basin_rank_0.nc", "state_basin_rank_0.nc"):
+        with h5py.File(tmp_path / "ref" / name) as fa, \
+                h5py.File(tmp_path / "crashed" / name) as fb:
+            key = [k for k in ("outputs", "discharge") if k in fa][0]
+            np.testing.assert_array_equal(fa[key][...], fb[key][...])
+
+
+def test_resume_rejects_misaligned_time(tmp_path):
+    from tests.test_cli import make_scenario
+    from tiger_tpu import checkpoint as ckpt
+    from tiger_tpu.config import load_config
+    from tiger_tpu.run import run
+
+    sc = make_scenario(tmp_path)
+    cfg = load_config(str(sc["cfg_path"]))
+    cfg.time.chunk_days = 1.0
+    cfg.output.path = str(tmp_path / "out")
+    run(cfg, use_mesh=False)  # produces the full-extent output files
+
+    state = tmp_path / "out" / "state_basin_rank_0.nc"
+    y, ids, _ = ckpt.load_state(str(state))
+    ckpt.save_state(str(state), y, ids, 1500.0)  # not a window boundary
+
+    cfg2 = load_config(str(sc["cfg_path"]))
+    cfg2.time.chunk_days = 1.0
+    cfg2.output.path = str(tmp_path / "out")
+    cfg2.initial.mode = "hot"
+    cfg2.initial.file = str(state)
+    cfg2.initial.resume = True
+    with pytest.raises(ValueError, match="not aligned"):
+        run(cfg2, use_mesh=False)

@@ -51,6 +51,7 @@ def solve_chunked(
     backend: str = "auto",
     topology=None,
     dense_sink=None,
+    state_sink=None,
 ):
     """Integrate [t0, tf] in windows of ``chunk_minutes``.
 
@@ -73,6 +74,11 @@ def solve_chunked(
     ``q0`` is the window's starting index on the global query grid, ``qt_abs``
     its absolute query times; ``routed_w`` is None without topology.  The
     returned result then has empty ``dense`` (and routed) arrays.
+
+    ``state_sink(t_abs, y)`` — called after each window with the absolute end
+    time and the carried state [S, N]; runs on the output worker thread AFTER
+    that window's ``dense_sink`` completes, so a checkpoint written inside it
+    never claims a time whose dense output is still in flight.
     """
     if chunk_minutes <= 0:
         raise ValueError("chunk_minutes must be positive")
@@ -182,6 +188,10 @@ def solve_chunked(
                     all_dense.append(res.dense)
                     if routed_w is not None:
                         all_routed.append(routed_w)
+            if state_sink is not None:
+                if sink_fut is not None:
+                    sink_fut.result()
+                sink_fut = sink_executor.submit(state_sink, w_end, y)
             stiff_any = stiff_any | res.stiff
             failed_any = failed_any | res.failed
             n_stiff_total += res.n_stiff

@@ -61,6 +61,12 @@ class InitialInfo:
     mode: str = "cold"  # "cold" | "hot"
     file: str = ""  # state file (hot mode); NetCDF final-state layout
     cold_state: Optional[List[float]] = None  # per-variable cold-start y0
+    # Crash recovery for chunked runs: continue the ORIGINAL simulation from
+    # the state file's sim_time_minutes — output files are re-opened and
+    # filled from that point instead of recreated.  Requires mode: hot and
+    # time.chunk_days > 0.  Plain hot start (resume: false) begins a NEW run
+    # at t=0 from the saved state, like the reference's intended hot mode.
+    resume: bool = False
 
 
 @dataclasses.dataclass
@@ -97,6 +103,12 @@ class OutputInfo:
     # Also write the routed discharge hydrograph (downstream-accumulated link
     # outflow over the next_stream topology) as discharge_<prefix>_rank_N.nc.
     routed_discharge: bool = False
+    # Chunked runs: overwrite state_<prefix>_rank_N.nc every this-many
+    # simulated time (e.g. "30d") so a killed year-scale run resumes from the
+    # last completed window via initial.mode hot (crash recovery the
+    # reference's config gestures at but never implements).  None = final
+    # state only.
+    checkpoint_interval: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -180,9 +192,12 @@ def load_config(path: str) -> SimulationConfig:
             mode=str(i.get("mode", "cold")),
             file=str(i.get("file", "")) if i.get("mode") == "hot" else "",
             cold_state=list(i["cold_state"]) if i.get("cold_state") else None,
+            resume=bool(i.get("resume", False)),
         )
         if cfg.initial.mode not in ("cold", "hot"):
             raise ValueError(f"initial.mode must be cold|hot, got {cfg.initial.mode}")
+        if cfg.initial.resume and cfg.initial.mode != "hot":
+            raise ValueError("initial.resume requires initial.mode: hot")
     if lp := doc.get("local_params"):
         cfg.params_file = str(lp.get("file", ""))
         if cols := lp.get("columns"):
@@ -217,7 +232,13 @@ def load_config(path: str) -> SimulationConfig:
             format=str(o.get("format", "netcdf")),
             precision=(None if o.get("precision") is None else str(o["precision"])),
             routed_discharge=bool(o.get("routed_discharge", False)),
+            checkpoint_interval=(
+                None if o.get("checkpoint_interval") is None
+                else str(o["checkpoint_interval"])
+            ),
         )
+        if cfg.output.checkpoint_interval is not None:
+            parse_interval_minutes(cfg.output.checkpoint_interval)  # validate
         if cfg.output.precision not in (None, "f32", "f64", "i16"):
             raise ValueError(
                 f"output.precision must be f32|f64|i16, got {cfg.output.precision!r}"

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import h5py
 import numpy as np
 
 from tiger_tpu.io.netcdf import NetCDFWriter
@@ -176,11 +177,39 @@ class WindowedVarWriter:
         compression_level: int = 0,
         dtype=np.float32,
         attrs: Optional[dict] = None,
+        resume: bool = False,
     ):
+        """``resume=True`` re-opens an existing file from a checkpointed run
+        (full time extent already defined; earlier windows' slices kept) and
+        validates its shape instead of recreating it."""
         from concurrent.futures import ThreadPoolExecutor
 
         s_count = len(link_ids)
         n_q = len(query_times)
+        if resume:
+            import os
+
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"resume requested but output file is missing: {path}"
+                )
+            f = h5py.File(path, "r+")
+            ds = f[var_name]
+            want = (s_count, n_q) if state_ids is None else (
+                s_count, n_q, len(state_ids)
+            )
+            if ds.shape != want:
+                f.close()
+                raise ValueError(
+                    f"resume shape mismatch for {path}:{var_name}: file has "
+                    f"{ds.shape}, run needs {want}"
+                )
+            self._w = f  # h5py.File: has .close(), all defs already exist
+            self._dtype = np.dtype(dtype)
+            self._ds = ds
+            self._ex = ThreadPoolExecutor(max_workers=1)
+            self._pending = None
+            return
         self._w = NetCDFWriter(path)
         self._w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
         self._w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
@@ -215,6 +244,14 @@ class WindowedVarWriter:
             self._ds[:, q0 : q0 + block.shape[1]] = np.asarray(block, self._dtype)
 
         self._pending = self._ex.submit(pull_write)
+
+    def flush(self) -> None:
+        """Block until all submitted windows are on disk (checkpoint barrier)."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+        f = self._w if isinstance(self._w, h5py.File) else self._w._f
+        f.flush()
 
     def close(self) -> None:
         if self._pending is not None:

@@ -121,6 +121,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
                 )
 
     # ---- initial conditions --------------------------------------------
+    resume_t = None
     with metrics.phase("init_state"):
         if cfg.initial.mode == "hot":
             y0, _, t_ckpt = ckpt.load_state(cfg.initial.file, link_ids)
@@ -128,6 +129,15 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
                 raise ValueError(
                     f"Hot-start state has {y0.shape[1]} vars, model needs {model.N_EQ}"
                 )
+            if cfg.initial.resume:
+                # Continue the ORIGINAL run from the checkpoint's sim time
+                # (chunked only: output files are re-opened, not recreated).
+                if not chunked:
+                    raise ValueError(
+                        "initial.resume requires time.chunk_days > 0 "
+                        "(windowed output that can be re-opened)"
+                    )
+                resume_t = t_ckpt
         else:
             cold = cfg.initial.cold_state or COLD_STATE_DEFAULTS.get(
                 cfg.model.uid, (0.0,) * model.N_EQ
@@ -148,7 +158,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     if chunked:
         return _run_chunked(
             cfg, model, y0, t0, tf, query_times, model_params, specs,
-            link_ids, sp, mesh, backend, metrics, dtype,
+            link_ids, sp, mesh, backend, metrics, dtype, resume_t=resume_t,
         )
     t_solve = time.perf_counter()
     with metrics.phase("solve"):
@@ -288,7 +298,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
 
 def _run_chunked(
     cfg, model, y0, t0, tf, query_times, model_params, specs,
-    link_ids, sp, mesh, backend, metrics, dtype,
+    link_ids, sp, mesh, backend, metrics, dtype, resume_t=None,
 ) -> dict:
     """Windowed (streaming) execution: ``time.chunk_days`` at a time.
 
@@ -297,6 +307,11 @@ def _run_chunked(
     bounded regardless of the record length — a year of hourly forcing at 1M
     systems streams through a few hundred MB of HBM.  The reference's
     loadTimeChunk streaming design (forcing_loader.cpp:164), operational.
+
+    ``resume_t`` (crash recovery, initial.resume): continue the original run
+    from this simulated minute — output files are re-opened and filled from
+    that point; ``output.checkpoint_interval`` writes the state file along
+    the way so such a resume point always exists.
     """
     import jax
     import jax.numpy as jnp
@@ -323,6 +338,19 @@ def _run_chunked(
 
     interval = parse_interval_minutes(cfg.output.print_interval)
     chunk_minutes = cfg.time.chunk_days * 1440.0
+    t_start = t0 if resume_t is None else float(resume_t)
+    if resume_t is not None:
+        for name, step in (("chunk_days", chunk_minutes), ("print_interval", interval)):
+            if abs((t_start - t0) / step - round((t_start - t0) / step)) > 1e-9:
+                raise ValueError(
+                    f"resume time {t_start} min is not aligned to {name} "
+                    f"({step} min); checkpoints are written at window ends"
+                )
+        if not (t0 <= t_start < tf):
+            raise ValueError(
+                f"resume time {t_start} min outside the run span [{t0}, {tf})"
+            )
+    base_q = int(round((t_start - t0) / interval))
     loader = (
         netcdf_window_loader(specs, link_ids, cfg.forcings.lookup)
         if specs
@@ -353,12 +381,14 @@ def _run_chunked(
     import contextlib
 
     t_solve = time.perf_counter()
+    resume = resume_t is not None
+    state_path = os.path.join(outdir, f"state_{prefix}_rank_{proc}.nc")
     with contextlib.ExitStack() as stack, metrics.phase("solve"):
         dense_w = stack.enter_context(
             WindowedVarWriter(
                 dense_path, "outputs", link_ids, query_times,
                 state_ids=state_ids, compression_level=cfg.output.compression_level,
-                dtype=out_dtype,
+                dtype=out_dtype, resume=resume,
             )
         )
         disc_w = None
@@ -370,21 +400,46 @@ def _run_chunked(
                     compression_level=cfg.output.compression_level,
                     dtype=np.float64,
                     attrs={"long_name": "routed downstream-accumulated outflow"},
+                    resume=resume,
                 )
             )
 
         def sink(q0, qt_abs, dense_blk, routed_blk):
+            if resume and q0 == 0 and len(qt_abs) and abs(qt_abs[0] - t_start) < 1e-9:
+                # The resume-boundary row was already written by the original
+                # run (as the last window's dense INTERPOLANT); rewriting it
+                # with the checkpoint state would perturb it by rounding.
+                q0, dense_blk = 1, dense_blk[:, 1:]
+                routed_blk = None if routed_blk is None else routed_blk[:, 1:]
             if state_sel is not None:
                 dense_blk = dense_blk[:, :, state_sel]
-            dense_w.write(q0, dense_blk)
+            dense_w.write(base_q + q0, dense_blk)
             if disc_w is not None:
-                disc_w.write(q0, routed_blk)
+                disc_w.write(base_q + q0, routed_blk)
+
+        state_cb = None
+        if cfg.output.checkpoint_interval is not None:
+            ckpt_every = parse_interval_minutes(cfg.output.checkpoint_interval)
+            next_mark = [t_start + ckpt_every]
+
+            def state_cb(t_abs, y):
+                # Runs on the output worker thread AFTER this window's dense
+                # writes: flush first, so the checkpoint never claims a time
+                # whose output could be lost by a crash right after it.
+                if t_abs + 1e-9 < next_mark[0]:
+                    return
+                dense_w.flush()
+                if disc_w is not None:
+                    disc_w.flush()
+                ckpt.save_state(state_path, np.asarray(y), link_ids, float(t_abs))
+                while next_mark[0] <= t_abs + 1e-9:
+                    next_mark[0] += ckpt_every
 
         res = solve_chunked(
-            model, y0, t0, tf, chunk_minutes, loader,
+            model, y0, t_start, tf, chunk_minutes, loader,
             query_interval=interval, params=model_params,
             config=cfg.solver_config(), mesh=mesh, backend=backend,
-            topology=topo, dense_sink=sink,
+            topology=topo, dense_sink=sink, state_sink=state_cb,
         )
         if topo is not None:
             res = res[0]
@@ -400,14 +455,13 @@ def _run_chunked(
                 cfg.output.precision
             ],
         )
-        state_path = os.path.join(outdir, f"state_{prefix}_rank_{proc}.nc")
         ckpt.save_state(state_path, y_final, link_ids, tf)
 
     return {
         "num_systems": len(link_ids),
         "n_stiff": res.n_stiff,
         "n_failed": int(np.asarray(res.failed).sum()),
-        "n_windows": int(np.ceil((tf - t0) / chunk_minutes - 1e-9)),
+        "n_windows": int(np.ceil((tf - t_start) / chunk_minutes - 1e-9)),
         "final_path": final_path,
         "dense_path": dense_path,
         "state_path": state_path,
