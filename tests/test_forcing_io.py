@@ -228,3 +228,29 @@ def test_dense_netcdf_packed_roundtrip(tmp_path):
                 span = np.nanmax(ref) - np.nanmin(ref)
                 tol = max(span, 1e-30) / 65532.0 * 0.51 + 1e-12
                 np.testing.assert_allclose(dec[ok], ref[ok], atol=tol, rtol=0)
+
+
+def test_from_grid_series_matches_host_remap(grid_files):
+    """Device-side remap (from_grid_series) is bitwise the host remap path."""
+    from tiger_tpu.forcing import ForcingSet
+
+    rng = np.random.default_rng(3)
+    n_lat, n_lon = grid_files["pr"].shape[1:]
+    flat = rng.integers(0, n_lat * n_lon, 17)
+    host = ForcingSet.from_series(
+        [
+            remap_grid_to_systems(grid_files["pr"], flat),
+            remap_grid_to_systems(grid_files["t2m"], flat),
+        ],
+        [60.0, 1440.0],
+    )
+    dev = ForcingSet.from_grid_series(
+        [
+            grid_files["pr"].reshape(grid_files["pr"].shape[0], -1),
+            grid_files["t2m"].reshape(grid_files["t2m"].shape[0], -1),
+        ],
+        flat,
+        [60.0, 1440.0],
+    )
+    assert dev.meta == host.meta
+    np.testing.assert_array_equal(np.asarray(dev.data), np.asarray(host.data))

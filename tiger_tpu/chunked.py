@@ -240,14 +240,14 @@ def netcdf_window_loader(
     the vectorized remap — the reference's loadTimeChunk streaming design
     actually wired up.
     """
-    from tiger_tpu.forcing import remap_grid_to_systems
     from tiger_tpu.io.lookup import LookupTable
     from tiger_tpu.io.netcdf import NetCDFReader
 
     lut = LookupTable.load(lookup_csv)
+    flat_cache: dict = {}  # lon_size -> [S] device index (uploaded once)
 
     def load_window(w_start: float, w_end: float) -> ForcingSet:
-        series, dts = [], []
+        grids, dts, flats = [], [], []
         for spec in specs:
             dt_min = spec.dt_hours * 60.0
             if abs((w_start / dt_min) - round(w_start / dt_min)) > 1e-9:
@@ -260,9 +260,17 @@ def netcdf_window_loader(
                 k0c = min(k0, rd.time_size - 1)
                 k1c = min(max(k1, k0c + 1), rd.time_size)
                 chunk = rd.load_time_chunk(k0c, k1c - k0c)
-                flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
-                series.append(remap_grid_to_systems(chunk, flat))
+                if rd.lon_size not in flat_cache:
+                    flat_cache[rd.lon_size] = jnp.asarray(
+                        lut.flat_index(np.asarray(stream_ids), rd.lon_size),
+                        jnp.int32,
+                    )
+                flats.append(flat_cache[rd.lon_size])
+                # Ship the grid, remap on device (ForcingSet.from_grid_series):
+                # per window this is n_cells values per step over the link
+                # instead of S — the upload no longer scales with basin size.
+                grids.append(chunk.reshape(chunk.shape[0], -1))
                 dts.append(dt_min)
-        return ForcingSet.from_series(series, dts)
+        return ForcingSet.from_grid_series(grids, flats, dts)
 
     return load_window

@@ -75,6 +75,40 @@ class ForcingSet:
         meta = ForcingMeta(tuple(offsets), tuple(n_steps), tuple(float(d) for d in dt_minutes))
         return ForcingSet(data=jnp.asarray(data), meta=meta)
 
+    @staticmethod
+    def from_grid_series(
+        grids: Sequence[np.ndarray],  # [T_j, n_cells] flat grids (host or device)
+        flat_index,  # [S] int cell index per system (device array reusable)
+        dt_minutes: Sequence[float],
+    ) -> "ForcingSet":
+        """Build by remapping flat grids onto systems ON DEVICE.
+
+        Ships only the grid (n_cells values per step) over the host->device
+        link and gathers the [T, S] per-system layout there — at 131k systems
+        on a 64x128 ERA5-style grid that is 16x fewer bytes per window than
+        uploading the host-remapped series (100x at 1M systems), which
+        matters when the device link is the bottleneck (remote-tunneled TPU,
+        multi-host pods).  Values are bitwise-identical to
+        ``from_series(remap_grid_to_systems(...))``.
+        """
+        if len(grids) != len(dt_minutes):
+            raise ValueError("grids and dt_minutes must have equal length")
+        offsets, n_steps = [], []
+        row = 0
+        for g in grids:
+            offsets.append(row)
+            n_steps.append(g.shape[0])
+            row += g.shape[0]
+        if isinstance(flat_index, (list, tuple)):
+            flats = tuple(jnp.asarray(f, jnp.int32) for f in flat_index)
+        else:
+            flats = (jnp.asarray(flat_index, jnp.int32),) * len(grids)
+        data = _remap_concat_jit(
+            tuple(jnp.asarray(g, jnp.float32) for g in grids), flats
+        )
+        meta = ForcingMeta(tuple(offsets), tuple(n_steps), tuple(float(d) for d in dt_minutes))
+        return ForcingSet(data=data, meta=meta)
+
     def time_slice(self, t0_min: float, t1_min: float) -> "ForcingSet":
         """Window the packed data to [t0, t1) minutes (for chunked streaming).
 
@@ -89,6 +123,14 @@ class ForcingSet:
             series.append(arr[off + k0 : off + k1])
             dts.append(dt)
         return ForcingSet.from_series(series, dts)
+
+
+@jax.jit
+def _remap_concat_jit(grids, flats):
+    """[(T_j, C_j)] grids + per-grid [S] cell indices -> packed [sum T_j, S]."""
+    return jnp.concatenate(
+        [jnp.take(g, f, axis=1) for g, f in zip(grids, flats)], axis=0
+    )
 
 
 def gather_forcings_column(col: jax.Array, meta: ForcingMeta, t: jax.Array) -> jax.Array:
@@ -205,7 +247,7 @@ def load_forcings(
     from tiger_tpu.io.netcdf import NetCDFReader
 
     lut = LookupTable.load(lookup_csv)
-    series, dt_minutes = [], []
+    grids, flats, dt_minutes = [], [], []
     for spec in specs:
         with NetCDFReader(spec.path, spec.var) as rd:
             if duration_days is None:
@@ -213,11 +255,13 @@ def load_forcings(
             else:
                 n_steps = int(round(duration_days * 24.0 / spec.dt_hours))
                 n_steps = min(n_steps, rd.time_size - start_step)
-            flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
+            flats.append(lut.flat_index(np.asarray(stream_ids), rd.lon_size))
             chunk = rd.load_time_chunk(start_step, n_steps)
-            series.append(remap_grid_to_systems(chunk, flat))
+            # Ship the grid and remap on device (see from_grid_series): the
+            # host->device bytes scale with the GRID, not the basin.
+            grids.append(chunk.reshape(chunk.shape[0], -1))
             dt_minutes.append(spec.dt_hours * 60.0)
-    return ForcingSet.from_series(series, dt_minutes)
+    return ForcingSet.from_grid_series(grids, flats, dt_minutes)
 
 
 def remap_grid_to_systems(grid_chunk: np.ndarray, flat_index: np.ndarray) -> np.ndarray:
