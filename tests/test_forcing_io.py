@@ -254,3 +254,44 @@ def test_from_grid_series_matches_host_remap(grid_files):
     )
     assert dev.meta == host.meta
     np.testing.assert_array_equal(np.asarray(dev.data), np.asarray(host.data))
+
+
+def test_per_forcing_lookup_different_grids(tmp_path):
+    """pr and t2m on grids of different resolution, each with its own lookup
+    CSV (the reference's pr_lookup/t2m_lookup pair, main.cpp:494-505)."""
+    import jax.numpy as jnp
+
+    from tiger_tpu.chunked import netcdf_window_loader
+    from tiger_tpu.forcing import ForcingSpec, load_forcings
+
+    rng = np.random.default_rng(11)
+    pr = rng.uniform(0, 0.002, (48, 4, 6)).astype(np.float32)
+    t2m = rng.uniform(-5, 15, (2, 2, 3)).astype(np.float32)
+    write_grid_forcing(str(tmp_path / "pr.nc"), "pr", pr)
+    write_grid_forcing(str(tmp_path / "t2m.nc"), "t2m", t2m)
+
+    streams = np.array([7, 14, 21])
+    pr_ll = np.array([[0, 5], [3, 2], [1, 1]])
+    t2m_ll = np.array([[0, 0], [1, 2], [0, 1]])
+    for name, ll in (("pr_lookup.csv", pr_ll), ("t2m_lookup.csv", t2m_ll)):
+        with open(tmp_path / name, "w") as f:
+            f.write("stream,lat_index,lon_index\n")
+            for s, (la, lo) in zip(streams, ll):
+                f.write(f"{s},{la},{lo}\n")
+
+    specs = [
+        ForcingSpec(str(tmp_path / "pr.nc"), "pr", 1.0,
+                    lookup=str(tmp_path / "pr_lookup.csv")),
+        ForcingSpec(str(tmp_path / "t2m.nc"), "t2m", 24.0,
+                    lookup=str(tmp_path / "t2m_lookup.csv")),
+    ]
+    # Run-level lookup deliberately wrong for both grids; per-spec wins.
+    fs = load_forcings(specs, streams, str(tmp_path / "pr_lookup.csv"))
+    data = np.asarray(fs.data)
+    np.testing.assert_array_equal(data[:48], pr[:, pr_ll[:, 0], pr_ll[:, 1]])
+    np.testing.assert_array_equal(data[48:], t2m[:, t2m_ll[:, 0], t2m_ll[:, 1]])
+
+    loader = netcdf_window_loader(specs, streams, str(tmp_path / "pr_lookup.csv"))
+    w = loader(0.0, 1440.0)
+    np.testing.assert_array_equal(np.asarray(w.data)[:24], data[:24])
+    np.testing.assert_array_equal(np.asarray(w.data)[24], data[48])

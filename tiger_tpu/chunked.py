@@ -243,12 +243,17 @@ def netcdf_window_loader(
     from tiger_tpu.io.lookup import LookupTable
     from tiger_tpu.io.netcdf import NetCDFReader
 
-    lut = LookupTable.load(lookup_csv)
-    flat_cache: dict = {}  # lon_size -> [S] device index (uploaded once)
+    luts = {
+        p: LookupTable.load(p)
+        for p in {getattr(s, "lookup", None) or lookup_csv for s in specs}
+    }
+    flat_cache: dict = {}  # (lookup, lon_size) -> [S] device index (uploaded once)
 
     def load_window(w_start: float, w_end: float) -> ForcingSet:
         grids, dts, flats = [], [], []
         for spec in specs:
+            lut_key = getattr(spec, "lookup", None) or lookup_csv
+            lut = luts[lut_key]
             dt_min = spec.dt_hours * 60.0
             if abs((w_start / dt_min) - round(w_start / dt_min)) > 1e-9:
                 raise ValueError(
@@ -260,12 +265,13 @@ def netcdf_window_loader(
                 k0c = min(k0, rd.time_size - 1)
                 k1c = min(max(k1, k0c + 1), rd.time_size)
                 chunk = rd.load_time_chunk(k0c, k1c - k0c)
-                if rd.lon_size not in flat_cache:
-                    flat_cache[rd.lon_size] = jnp.asarray(
+                cache_key = (lut_key, rd.lon_size)
+                if cache_key not in flat_cache:
+                    flat_cache[cache_key] = jnp.asarray(
                         lut.flat_index(np.asarray(stream_ids), rd.lon_size),
                         jnp.int32,
                     )
-                flats.append(flat_cache[rd.lon_size])
+                flats.append(flat_cache[cache_key])
                 # Ship the grid, remap on device (ForcingSet.from_grid_series):
                 # per window this is n_cells values per step over the link
                 # instead of S — the upload no longer scales with basin size.

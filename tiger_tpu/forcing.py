@@ -149,11 +149,17 @@ def gather_forcings_column(col: jax.Array, meta: ForcingMeta, t: jax.Array) -> j
 
 @dataclasses.dataclass(frozen=True)
 class ForcingSpec:
-    """One gridded forcing source (reference NCForcing, main.cpp:508-515)."""
+    """One gridded forcing source (reference NCForcing, main.cpp:508-515).
+
+    ``lookup``: optional per-forcing remap CSV — the reference loads a
+    separate lookup per forcing grid (pr_lookup/t2m_lookup, main.cpp:494-505)
+    because grids may differ in resolution; None uses the run-level lookup.
+    """
 
     path: str
     var: str
     dt_hours: float  # hours per time step (converted to minutes at pack time)
+    lookup: Optional[str] = None
 
 
 def _units_to_hours(units: str) -> Optional[float]:
@@ -246,9 +252,13 @@ def load_forcings(
     from tiger_tpu.io.lookup import LookupTable
     from tiger_tpu.io.netcdf import NetCDFReader
 
-    lut = LookupTable.load(lookup_csv)
+    luts = {
+        p: LookupTable.load(p)
+        for p in {spec.lookup or lookup_csv for spec in specs}
+    }
     grids, flats, dt_minutes = [], [], []
     for spec in specs:
+        lut = luts[spec.lookup or lookup_csv]
         with NetCDFReader(spec.path, spec.var) as rd:
             if duration_days is None:
                 n_steps = rd.time_size - start_step

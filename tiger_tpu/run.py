@@ -90,13 +90,20 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     chunked = cfg.time.chunk_days > 0
     if cfg.forcings.files or (cfg.forcings.type == "folder_nc" and cfg.forcings.path):
         if cfg.forcings.files:
+            def _resolve(p):
+                return (
+                    p if p is None or os.path.isabs(p)
+                    else os.path.join(cfg.forcings.path, p)
+                )
+
             specs = [
                 ForcingSpec(
-                    path=os.path.join(cfg.forcings.path, f["file"])
-                    if not os.path.isabs(f["file"])
-                    else f["file"],
+                    path=_resolve(f["file"]),
                     var=f["var"],
                     dt_hours=float(f["dt_hours"]),
+                    # Per-forcing lookup CSV (grids of different resolution;
+                    # the reference loads one lookup per grid, main.cpp:494).
+                    lookup=_resolve(f.get("lookup")),
                 )
                 for f in cfg.forcings.files
             ]
