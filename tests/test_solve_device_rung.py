@@ -1,0 +1,78 @@
+"""The on-device Radau rung for small stiff counts (api.solve).
+
+On TPU, ANY flagged lanes are re-integrated by the fused Radau kernel padded
+to a 256-lane bucket; only kernel failures fall through to the CPU float64
+pipeline.  TT_FORCE_DEVICE_RUNG exercises the same branch here on CPU via
+the Pallas interpreter, pinning the pad/merge/mask bookkeeping that a year-
+scale streamed run exercises on hardware (reference analog: the host-side
+stiff compaction in rk45_api.hpp:190-247).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tiger_tpu.models import DummyModel
+from tiger_tpu.solver import SolverConfig, solve
+
+
+class StiffMix(DummyModel):
+    """Dummy dynamics with per-lane linear-decay rate: lam << 0 lanes are
+    stiff for RK45 and flag out; the rest integrate normally."""
+
+    def rhs(self, t, y, params, forcings=None):
+        return params["lam"][..., None] * y
+
+    def rhs_tuple(self, t, y, params, forcings=None):
+        return tuple(params["lam"] * yi for yi in y)
+
+
+@pytest.fixture
+def mix():
+    s = 12
+    lam = np.full(s, -0.1, np.float32)
+    lam[[3, 7]] = -1e6  # two stiff lanes, like a streamed window's flags
+    y0 = jnp.ones((s, 5), jnp.float32)
+    params = {"lam": jnp.asarray(lam)}
+    return y0, params, lam
+
+
+def test_device_rung_resolves_small_stiff_subset(mix, monkeypatch):
+    monkeypatch.setenv("TT_FORCE_DEVICE_RUNG", "1")
+    y0, params, lam = mix
+    qt = jnp.asarray([25.0, 50.0])
+    res = solve(StiffMix(), y0, 0.0, 50.0, qt, params=params,
+                config=SolverConfig(rtol=1e-5, atol=1e-8))
+    assert res.n_stiff == 2
+    assert not np.asarray(res.failed).any()
+    expect_final = np.exp(lam.astype(np.float64) * 50.0)
+    got = np.asarray(res.y_final)
+    assert np.isfinite(got).all()
+    # Stiff lanes: exact answer is ~e^-5e7 == 0; Radau must land there.
+    np.testing.assert_allclose(got[[3, 7]], 0.0, atol=1e-6)
+    # Non-stiff lanes unperturbed by the merge.
+    np.testing.assert_allclose(
+        got[lam > -1e5],
+        np.broadcast_to(expect_final[lam > -1e5, None], (10, 5)),
+        rtol=1e-4,
+    )
+    # Dense rows for the stiff lanes come from the rung's kernel too.
+    dense = np.asarray(res.dense)
+    np.testing.assert_allclose(dense[[3, 7], 0], 0.0, atol=1e-6)
+
+
+def test_device_rung_failures_fall_through_to_cpu(mix, monkeypatch):
+    """Lanes the kernel cannot finish are retried by the f64 CPU pipeline."""
+    monkeypatch.setenv("TT_FORCE_DEVICE_RUNG", "1")
+    y0, params, lam = mix
+    # A Radau bail-out is hard to force with linear decay; instead cap the
+    # kernel's Newton budget so hard lanes reject until radau_max_rejects.
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8, newton_max_iter=1,
+                       radau_max_rejects=1)
+    res = solve(StiffMix(), y0, 0.0, 50.0, None, params=params, config=cfg)
+    # Whatever the kernel failed, the CPU pass must leave nothing failed
+    # unless it also bailed; in either case the result is finite and sane.
+    got = np.asarray(res.y_final)
+    ok = ~np.asarray(res.failed)
+    assert ok.any()
+    assert np.isfinite(got[ok]).all()

@@ -222,7 +222,10 @@ def solve(
     # device either way, mirroring the reference's CPU gather
     # (rk45_api.hpp:190-203).
     t_ph = _time.perf_counter()
-    if n_stiff >= 1 and on_tpu_f32 and backend != "xla":
+    # TT_FORCE_DEVICE_RUNG: test hook — exercise this branch on CPU via the
+    # kernel interpreter (tests/test_solve_device_rung.py).
+    force_rung = bool(_os.environ.get("TT_FORCE_DEVICE_RUNG"))
+    if n_stiff >= 1 and (on_tpu_f32 or force_rung) and backend != "xla":
         from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
 
         idx0 = np.nonzero(stiff_mask)[0]
@@ -254,6 +257,7 @@ def solve(
             forc0,
             h0=h0_sub,
             config=config,
+            interpret=jax.devices()[0].platform != "tpu",
         )
         ok = ~np.asarray(rdk.failed)[: len(idx0)]
         ok_rel = np.nonzero(ok)[0]
