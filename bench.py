@@ -76,6 +76,11 @@ def main() -> None:
         "--fsal", action="store_true",
         help="rk45 kernel FSAL mode (6 rhs evals/attempt; non-parity)",
     )
+    p.add_argument(
+        "--forcing-bf16", action="store_true",
+        help="store kernel-resident forcing in bf16 (halves its VMEM; "
+        "enables taller tiles via TT_TILE_ROWS=128)",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -105,7 +110,10 @@ def main() -> None:
     s_count = args.systems
     tf = args.days * 1440.0
     model = Model204()
-    config = SolverConfig(rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal)
+    config = SolverConfig(
+        rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal,
+        forcing_dtype="bf16" if args.forcing_bf16 else "f32",
+    )
     y0, params, forcings = _scenario(s_count, dtype)
     qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=dtype)
     h0 = jnp.full((s_count,), 1e-3, dtype)

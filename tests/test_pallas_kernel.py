@@ -322,3 +322,39 @@ def test_fsal_unforced_dummy_accuracy():
     np.testing.assert_allclose(
         np.asarray(fsal.y_final), np.asarray(base.y_final), rtol=2e-5, atol=1e-7
     )
+
+
+def test_kernel_bf16_forcing_close_to_f32():
+    """forcing_dtype='bf16' quantizes only the forcing values: trajectories
+    stay within the quantization-propagated tolerance of the f32 kernel."""
+    import dataclasses
+
+    from tests.test_model204 import NB_PARAMS
+
+    s_count = 32
+    rng = np.random.default_rng(5)
+    params = {
+        k: jnp.asarray(np.full(s_count, v) * rng.uniform(0.9, 1.1, s_count), jnp.float32)
+        for k, v in NB_PARAMS.items()
+    }
+    pr = np.tile(rng.uniform(0, 0.0015, (1, s_count)), (24, 1)).astype(np.float32)
+    t2m = rng.uniform(2, 10, (1, s_count)).astype(np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.tile(jnp.asarray([0.01, 3.0, 0.0, 5.0, 0.2], jnp.float32), (s_count, 1))
+    qt = jnp.arange(0.0, 1441.0, 360.0, dtype=jnp.float32)
+    h0 = jnp.full((s_count,), 1e-3, jnp.float32)
+
+    a = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, qt, params, forc, h0=h0, config=CFG,
+        interpret=True,
+    )
+    cfg16 = dataclasses.replace(CFG, forcing_dtype="bf16")
+    b = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, qt, params, forc, h0=h0, config=cfg16,
+        interpret=True,
+    )
+    # bf16 forcing is a ~0.4% input perturbation; trajectories track within
+    # a few percent through 204's kinks.
+    np.testing.assert_allclose(
+        np.asarray(b.y_final), np.asarray(a.y_final), rtol=4e-2, atol=1e-4
+    )

@@ -55,7 +55,7 @@ _VMEM_BUDGET = int(_os.environ.get("TT_VMEM_BUDGET", 10 * 2**20))  # ~16 MB/core
 
 
 def _pick_tile_rows(
-    q_total: int, n_eq: int, t_forc: int, n_params: int
+    q_total: int, n_eq: int, t_forc: int, n_params: int, f_bytes: int = 4
 ) -> Optional[int]:
     """Largest tile (rows of 128 lanes) whose working set fits VMEM.
 
@@ -69,7 +69,7 @@ def _pick_tile_rows(
     (_query_window_size) instead of handing Mosaic an over-budget kernel.
     """
     qp = max(q_total, 1)
-    per_lane = 4 * (2 * qp * n_eq + t_forc + n_params + 70)
+    per_lane = 4 * (2 * qp * n_eq + n_params + 70) + f_bytes * t_forc
     for rows in _tile_row_candidates():
         if per_lane * rows * LANES <= _VMEM_BUDGET:
             return rows
@@ -85,14 +85,16 @@ def _tile_row_candidates() -> tuple:
     return (override,) if override else (64, 32, 16, 8)
 
 
-def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int = 8) -> int:
+def _query_window_size(
+    n_eq: int, t_forc: int, n_params: int, rows: int = 8, f_bytes: int = 4
+) -> int:
     """Max queries per window so an ``rows``-row tile fits the VMEM budget."""
-    per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
-    qc = (per_lane_budget - t_forc - n_params - 70) // (2 * n_eq)
+    per_lane_budget = _VMEM_BUDGET // (rows * LANES)
+    qc = (per_lane_budget - f_bytes * t_forc - 4 * (n_params + 70)) // (4 * 2 * n_eq)
     return max(int(qc), 1)
 
 
-def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params):
+def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params, f_bytes: int = 4):
     """Pick (tile_rows, q_chunk|None): BIGGEST tile first, windowing queries
     if that is what it takes.
 
@@ -107,18 +109,18 @@ def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params):
     while cap < 64 and cap * LANES < s_count:
         cap *= 2
     qp = max(q_total, 1)
-    per_lane = 4 * (2 * qp * n_eq + t_forc + n_params + 70)
+    per_lane = 4 * (2 * qp * n_eq + n_params + 70) + f_bytes * t_forc
     for rows in _tile_row_candidates():
         if rows > cap:
             continue
         if per_lane * rows * LANES <= _VMEM_BUDGET:
             return rows, None
-        qc = _query_window_size(n_eq, t_forc, n_params, rows)
+        qc = _query_window_size(n_eq, t_forc, n_params, rows, f_bytes)
         if q_total > 0 and qc >= 8:
             return rows, qc
     rows = _tile_row_candidates()[-1]
     if q_total > 0:
-        qc = _query_window_size(n_eq, t_forc, n_params, rows)
+        qc = _query_window_size(n_eq, t_forc, n_params, rows, f_bytes)
         if qc >= 1:
             return rows, qc
     raise ValueError(
@@ -468,6 +470,7 @@ def rk45_solve_pallas(
         y0.shape[0], qt.shape[0], n_eq,
         1 if forc_data is None else forc_data.shape[0],
         max(len(param_fields), 1),
+        2 if config.forcing_dtype == "bf16" else 4,
     )[1] is not None:
         # Query-windowed mode splits the run at query times; duplicate query
         # times would straddle a window boundary and the second copy would
@@ -499,9 +502,10 @@ def _pallas_pipeline(
     t_forc = 1 if forc_data is None else forc_data.shape[0]
     n_par = max(len(param_fields), 1)
 
+    f_bytes = 2 if config.forcing_dtype == "bf16" else 4
     # Biggest tile first, windowing the dense buffer (lax.scan over query
     # sub-intervals, carrying y and h) when that's what VMEM demands.
-    tile_rows, q_chunk = _plan_tiles(s_count, q_total, n_eq, t_forc, n_par)
+    tile_rows, q_chunk = _plan_tiles(s_count, q_total, n_eq, t_forc, n_par, f_bytes)
     tile = tile_rows * LANES
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
@@ -523,10 +527,11 @@ def _pallas_pipeline(
         p_m = pad_tail(p_stack, 1).reshape(len(param_fields), r_total, LANES)
     else:
         p_m = jnp.zeros((1, r_total, LANES), jnp.float32)
+    f_dtype = jnp.bfloat16 if config.forcing_dtype == "bf16" else jnp.float32
     if forc_data is not None:
-        f_m = pad_tail(forc_data, 1).reshape(-1, r_total, LANES)
+        f_m = pad_tail(forc_data, 1).reshape(-1, r_total, LANES).astype(f_dtype)
     else:
-        f_m = jnp.zeros((1, r_total, LANES), jnp.float32)
+        f_m = jnp.zeros((1, r_total, LANES), f_dtype)
 
     qp = max(q_total, 1) if q_chunk is None else q_chunk
     kernel = _make_kernel(

@@ -75,6 +75,14 @@ class SolverConfig:
     # per inner-loop iteration (monotone cursor per system, queries sorted).
     dense_chunk: int = 8
 
+    # Kernel-resident forcing precision (Pallas path only).  'bf16' halves
+    # the forcing block's VMEM footprint — the enabler for 128-row tiles,
+    # whose working set otherwise exceeds scoped VMEM (DESIGN.md roofline) —
+    # and converts to f32 at gather time.  ~3 significant digits for the
+    # forcing VALUES only (states/steps stay f32); rainfall inputs carry
+    # larger observational error than that, but the default stays exact.
+    forcing_dtype: str = "f32"
+
     # FSAL (first-same-as-last): reuse stage k7 = rhs(t+h, y_out) as the next
     # attempt's k1, cutting RHS evaluations from 7 to 6 per attempted step
     # (the reference recomputes k1 every step, rk45_kernel.cu:114).  In the
@@ -119,3 +127,5 @@ class SolverConfig:
             raise ValueError(f"unknown radau_error_mode: {self.radau_error_mode}")
         if self.dense_chunk < 1:
             raise ValueError("dense_chunk must be >= 1")
+        if self.forcing_dtype not in ("f32", "bf16"):
+            raise ValueError(f"forcing_dtype must be f32|bf16, got {self.forcing_dtype!r}")
