@@ -37,6 +37,19 @@ from tiger_tpu.solver.api import SolveResult, _phase_mark, solve
 from tiger_tpu.solver.config import SolverConfig
 
 
+@jax.jit
+def _carry_update_jit(y_prev, y_final, stiff_any, stiff, failed_any, failed,
+                      rk_stats, new_stats):
+    """Per-window carry bookkeeping fused into one device program."""
+    y = jnp.where(jnp.isnan(y_final), y_prev, y_final)
+    return (
+        y,
+        stiff_any | stiff,
+        failed_any | failed,
+        jax.tree.map(lambda a, b: a + b, rk_stats, new_stats),
+    )
+
+
 def solve_chunked(
     model,
     y0: jax.Array,
@@ -149,7 +162,9 @@ def solve_chunked(
                 )
                 hi_idx = math.floor((w_end - t0) / query_interval + 1e-9)
                 qt_abs = np.arange(lo_idx, hi_idx + 1) * query_interval + t0
-                qt = jnp.asarray(qt_abs - w_start)
+                # Keep qt on the HOST: api.solve validates it with np.asarray,
+                # which for a device array is a blocking pull every window.
+                qt = qt_abs - w_start
                 all_qt.append(qt_abs)
 
             res = solve(
@@ -157,14 +172,21 @@ def solve_chunked(
                 y,
                 0.0,
                 w_end - w_start,
-                qt,
+                None if qt is None else jnp.asarray(qt),
                 params=params,
                 forcings=forcings,
                 config=config,
                 mesh=mesh,
                 backend=backend,
             )
-            y = jnp.where(jnp.isnan(res.y_final), y, res.y_final)
+            # ONE jitted bookkeeping step: eager where/or/add ops each pay a
+            # dispatch round trip per window on a remote-attached device.
+            if rk_stats is None:
+                rk_stats = jax.tree.map(jnp.zeros_like, res.rk_stats)
+            y, stiff_any, failed_any, rk_stats = _carry_update_jit(
+                y, res.y_final, stiff_any, res.stiff, failed_any, res.failed,
+                rk_stats, res.rk_stats,
+            )
             if qt is not None:
                 routed_w = None
                 if topology is not None:
@@ -192,12 +214,7 @@ def solve_chunked(
                 if sink_fut is not None:
                     sink_fut.result()
                 sink_fut = sink_executor.submit(state_sink, w_end, y)
-            stiff_any = stiff_any | res.stiff
-            failed_any = failed_any | res.failed
             n_stiff_total += res.n_stiff
-            rk_stats = res.rk_stats if rk_stats is None else jax.tree.map(
-                lambda a, b: a + b, rk_stats, res.rk_stats
-            )
         if sink_fut is not None:
             sink_fut.result()
     finally:
