@@ -124,7 +124,16 @@ def solve_chunked(
     # One worker each keeps both pipelines FIFO-ordered.
     executor = ThreadPoolExecutor(max_workers=1)
     sink_executor = ThreadPoolExecutor(max_workers=1)
-    sink_fut = None
+    sink_futs: list = []
+
+    def _submit_sink(fn, *args):
+        # FIFO on the single worker preserves write order; completed futures
+        # are drained non-blockingly so an output error surfaces within a
+        # window or two instead of only at the end barrier.
+        while sink_futs and sink_futs[0].done():
+            sink_futs.pop(0).result()
+        sink_futs.append(sink_executor.submit(fn, *args))
+
     try:
         fut = executor.submit(load_window, *_bounds(0))
         for w in range(n_windows):
@@ -172,7 +181,7 @@ def solve_chunked(
                 y,
                 0.0,
                 w_end - w_start,
-                None if qt is None else jnp.asarray(qt),
+                qt,
                 params=params,
                 forcings=forcings,
                 config=config,
@@ -200,23 +209,17 @@ def solve_chunked(
                     _phase_mark("window_routing_dispatch", t_ph)
                 if dense_sink is not None:
                     t_ph = _time.perf_counter()
-                    if sink_fut is not None:
-                        sink_fut.result()  # propagate writer errors in order
-                    sink_fut = sink_executor.submit(
-                        dense_sink, lo_idx, qt_abs, res.dense, routed_w
-                    )
+                    _submit_sink(dense_sink, lo_idx, qt_abs, res.dense, routed_w)
                     _phase_mark("window_dense_sink", t_ph)
                 else:
                     all_dense.append(res.dense)
                     if routed_w is not None:
                         all_routed.append(routed_w)
             if state_sink is not None:
-                if sink_fut is not None:
-                    sink_fut.result()
-                sink_fut = sink_executor.submit(state_sink, w_end, y)
+                _submit_sink(state_sink, w_end, y)
             n_stiff_total += res.n_stiff
-        if sink_fut is not None:
-            sink_fut.result()
+        for f in sink_futs:
+            f.result()
     finally:
         executor.shutdown(wait=True)
         sink_executor.shutdown(wait=True)
