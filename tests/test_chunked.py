@@ -302,3 +302,31 @@ def test_resume_rejects_misaligned_time(tmp_path):
     cfg2.initial.resume = True
     with pytest.raises(ValueError, match="not aligned"):
         run(cfg2, use_mesh=False)
+
+
+def test_chunked_resolves_stiff_lanes_per_window():
+    """Stiff-flagged lanes are resolved inside each window (Radau retry) and
+    their corrected states feed the next window's start."""
+    from tests.test_solve_device_rung import StiffMix
+
+    s = 8
+    lam = np.full(s, -0.05, np.float32)
+    lam[[2, 5]] = -1e6
+    y0 = jnp.ones((s, 5))
+    params = {"lam": jnp.asarray(lam, y0.dtype)}
+    cfg = SolverConfig(rtol=1e-6, atol=1e-9)
+
+    ref = solve(StiffMix(), y0, 0.0, 100.0, jnp.asarray([50.0, 100.0]),
+                params=params, config=cfg)
+    res = solve_chunked(
+        StiffMix(), y0, 0.0, 100.0, chunk_minutes=50.0,
+        load_window=lambda a, b: None, query_interval=50.0,
+        params=params, config=cfg,
+    )
+    assert res.n_stiff >= 2 and not np.asarray(res.failed).any()
+    np.testing.assert_allclose(
+        np.asarray(res.y_final), np.asarray(ref.y_final), rtol=1e-5, atol=1e-12
+    )
+    # Window-1 dense row for the stiff lanes reflects the *resolved* window-0
+    # state carried forward, not NaN/stale values.
+    assert np.isfinite(np.asarray(res.dense)).all()
