@@ -295,3 +295,15 @@ def test_per_forcing_lookup_different_grids(tmp_path):
     w = loader(0.0, 1440.0)
     np.testing.assert_array_equal(np.asarray(w.data)[:24], data[:24])
     np.testing.assert_array_equal(np.asarray(w.data)[24], data[48])
+
+
+def test_out_of_grid_lookup_fails_loudly(tmp_path, grid_files):
+    """Lookup rows outside the grid must raise, not silently clip (the
+    device gather would otherwise feed the wrong cell's forcing)."""
+    from tiger_tpu.forcing import ForcingSpec, load_forcings
+
+    with open(tmp_path / "bad_lookup.csv", "w") as f:
+        f.write("stream,lat_index,lon_index\n101,0,0\n202,9,5\n")
+    specs = [ForcingSpec(grid_files["pr_path"], "pr", 1.0)]
+    with pytest.raises(ValueError, match="outside the .*-cell grid"):
+        load_forcings(specs, np.array([101, 202]), str(tmp_path / "bad_lookup.csv"))

@@ -22,10 +22,20 @@ from tiger_tpu.io.output import write_final_netcdf
 
 
 def save_state(path: str, y: np.ndarray, link_ids: np.ndarray, sim_time_minutes: float) -> None:
-    """Write a hot-start/checkpoint state file."""
-    write_final_netcdf(path, np.asarray(y), np.asarray(link_ids))
-    with h5py.File(path, "a") as f:
+    """Write a hot-start/checkpoint state file ATOMICALLY.
+
+    Periodic checkpoints overwrite the previous one; writing in place would
+    destroy the only resume point exactly when a crash lands mid-write
+    (the event checkpoints exist for).  Write to a sibling temp file and
+    ``os.replace`` it over the target.
+    """
+    import os
+
+    tmp = path + ".tmp"
+    write_final_netcdf(tmp, np.asarray(y), np.asarray(link_ids))
+    with h5py.File(tmp, "a") as f:
         f.attrs["sim_time_minutes"] = float(sim_time_minutes)
+    os.replace(tmp, path)
 
 
 def load_state(

@@ -129,8 +129,13 @@ def solve_chunked(
     def _submit_sink(fn, *args):
         # FIFO on the single worker preserves write order; completed futures
         # are drained non-blockingly so an output error surfaces within a
-        # window or two instead of only at the end barrier.
+        # window or two instead of only at the end barrier.  The queue is
+        # BOUNDED (a few windows in flight): each queued window pins its
+        # device dense/routed blocks in HBM (~56 MB/window at 1M systems),
+        # so a stalled writer must throttle the solve, not OOM the device.
         while sink_futs and sink_futs[0].done():
+            sink_futs.pop(0).result()
+        while len(sink_futs) >= 4:
             sink_futs.pop(0).result()
         sink_futs.append(sink_executor.submit(fn, *args))
 
@@ -287,10 +292,13 @@ def netcdf_window_loader(
                 chunk = rd.load_time_chunk(k0c, k1c - k0c)
                 cache_key = (lut_key, rd.lon_size)
                 if cache_key not in flat_cache:
-                    flat_cache[cache_key] = jnp.asarray(
-                        lut.flat_index(np.asarray(stream_ids), rd.lon_size),
-                        jnp.int32,
+                    from tiger_tpu.forcing import _check_flat_bounds
+
+                    flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
+                    _check_flat_bounds(
+                        flat, chunk.shape[1] * chunk.shape[2], spec
                     )
+                    flat_cache[cache_key] = jnp.asarray(flat, jnp.int32)
                 flats.append(flat_cache[cache_key])
                 # Ship the grid, remap on device (ForcingSet.from_grid_series):
                 # per window this is n_cells values per step over the link

@@ -125,6 +125,19 @@ class ForcingSet:
         return ForcingSet.from_series(series, dts)
 
 
+def _check_flat_bounds(flat: np.ndarray, n_cells: int, spec) -> None:
+    """Fail loudly on lookup rows outside the forcing grid: the device
+    gather (jnp.take) CLIPS out-of-range indices, which would silently feed
+    affected systems the wrong cell's forcing (the numpy path raised)."""
+    if len(flat) and (flat.min() < 0 or flat.max() >= n_cells):
+        bad = int((np.asarray(flat) >= n_cells).sum() + (np.asarray(flat) < 0).sum())
+        raise ValueError(
+            f"lookup maps {bad} system(s) outside the {n_cells}-cell grid of "
+            f"{getattr(spec, 'var', '?')} ({getattr(spec, 'path', '?')}); "
+            "check lat_index/lon_index against the forcing file dimensions"
+        )
+
+
 @jax.jit
 def _remap_concat_jit(grids, flats):
     """[(T_j, C_j)] grids + per-grid [S] cell indices -> packed [sum T_j, S]."""
@@ -265,8 +278,10 @@ def load_forcings(
             else:
                 n_steps = int(round(duration_days * 24.0 / spec.dt_hours))
                 n_steps = min(n_steps, rd.time_size - start_step)
-            flats.append(lut.flat_index(np.asarray(stream_ids), rd.lon_size))
+            flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
             chunk = rd.load_time_chunk(start_step, n_steps)
+            _check_flat_bounds(flat, chunk.shape[1] * chunk.shape[2], spec)
+            flats.append(flat)
             # Ship the grid and remap on device (see from_grid_series): the
             # host->device bytes scale with the GRID, not the basin.
             grids.append(chunk.reshape(chunk.shape[0], -1))

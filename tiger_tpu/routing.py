@@ -150,15 +150,16 @@ def _routed_discharge_jit(dense, params, tables):
 #: One-slot device cache for Topology.ptr_tables: chunked runs call
 #: routed_discharge once per window with the SAME topology — re-uploading the
 #: [rounds, S] tables (5-9 MB at 131k links) every window costs more than the
-#: routing itself on a remote-tunneled device.
+#: routing itself on a remote-tunneled device.  The cache holds the HOST
+#: array itself and compares with ``is``: an id()-keyed cache can serve a
+#: stale topology when CPython recycles the address of a collected ndarray.
 _tables_cache: tuple = (None, None)
 
 
 def _device_tables(topo: Topology) -> jax.Array:
     global _tables_cache
-    key = id(topo.ptr_tables)
-    if _tables_cache[0] != key:
-        _tables_cache = (key, jnp.asarray(topo.ptr_tables))
+    if _tables_cache[0] is not topo.ptr_tables:
+        _tables_cache = (topo.ptr_tables, jnp.asarray(topo.ptr_tables))
     return _tables_cache[1]
 
 

@@ -427,6 +427,17 @@ def _run_chunked(
         state_cb = None
         if cfg.output.checkpoint_interval is not None:
             ckpt_every = parse_interval_minutes(cfg.output.checkpoint_interval)
+            # Checkpoints land at window ends (k * chunk_minutes); resume
+            # requires those times to sit on the query grid.  Refuse up front
+            # rather than writing checkpoints that can never be resumed.
+            if abs(chunk_minutes / interval - round(chunk_minutes / interval)) > 1e-9:
+                raise ValueError(
+                    f"output.checkpoint_interval needs time.chunk_days*1440 "
+                    f"({chunk_minutes} min) to be a multiple of "
+                    f"output.print_interval ({interval} min): checkpoints are "
+                    "written at window ends, and resume must land on the "
+                    "query grid"
+                )
             next_mark = [t_start + ckpt_every]
 
             def state_cb(t_abs, y):
