@@ -307,3 +307,23 @@ def test_out_of_grid_lookup_fails_loudly(tmp_path, grid_files):
     specs = [ForcingSpec(grid_files["pr_path"], "pr", 1.0)]
     with pytest.raises(ValueError, match="outside the .*-cell grid"):
         load_forcings(specs, np.array([101, 202]), str(tmp_path / "bad_lookup.csv"))
+
+
+def test_missing_cell_lookup_fails_loudly(tmp_path):
+    """A lookup mapping a link onto a _FillValue (ocean) cell must raise."""
+    from tiger_tpu.forcing import ForcingSpec, load_forcings
+    from tiger_tpu.io import NetCDFReader
+
+    pr = np.random.default_rng(0).uniform(0, 1, (4, 2, 3)).astype(np.float32)
+    pr[:, 1, 2] = -9999.0
+    write_grid_forcing(str(tmp_path / "pr.nc"), "pr", pr,
+                       attrs={"_FillValue": np.float32(-9999.0)})
+    with NetCDFReader(str(tmp_path / "pr.nc"), "pr") as rd:
+        chunk = rd.load_time_chunk(0, 4)
+    assert np.isnan(chunk[:, 1, 2]).all()  # unpacked fill -> NaN
+
+    with open(tmp_path / "lookup.csv", "w") as f:
+        f.write("stream,lat_index,lon_index\n1,0,0\n2,1,2\n")
+    specs = [ForcingSpec(str(tmp_path / "pr.nc"), "pr", 1.0)]
+    with pytest.raises(ValueError, match="missing"):
+        load_forcings(specs, np.array([1, 2]), str(tmp_path / "lookup.csv"))

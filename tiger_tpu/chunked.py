@@ -292,12 +292,16 @@ def netcdf_window_loader(
                 chunk = rd.load_time_chunk(k0c, k1c - k0c)
                 cache_key = (lut_key, rd.lon_size)
                 if cache_key not in flat_cache:
-                    from tiger_tpu.forcing import _check_flat_bounds
+                    from tiger_tpu.forcing import (
+                        _check_flat_bounds,
+                        _check_remap_finite,
+                    )
 
                     flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
                     _check_flat_bounds(
                         flat, chunk.shape[1] * chunk.shape[2], spec
                     )
+                    _check_remap_finite(chunk, flat, spec)
                     flat_cache[cache_key] = jnp.asarray(flat, jnp.int32)
                 flats.append(flat_cache[cache_key])
                 # Ship the grid, remap on device (ForcingSet.from_grid_series):

@@ -138,6 +138,22 @@ def _check_flat_bounds(flat: np.ndarray, n_cells: int, spec) -> None:
         )
 
 
+def _check_remap_finite(chunk: np.ndarray, flat: np.ndarray, spec) -> None:
+    """Reject lookups that map systems onto missing cells (NaN after fill
+    handling — e.g. ERA5-Land ocean cells).  Checks the chunk's first and
+    last time slices on the host (two [S] gathers): a persistent missing
+    cell is caught before NaN forcing poisons every trajectory on it."""
+    flat = np.asarray(flat)
+    grid2d = chunk.reshape(chunk.shape[0], -1)
+    bad = np.isnan(grid2d[0, flat]) | np.isnan(grid2d[-1, flat])
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} system(s) map to missing ({np.nan}) cells of "
+            f"{getattr(spec, 'var', '?')} ({getattr(spec, 'path', '?')}); "
+            "fix the lookup or fill the forcing file"
+        )
+
+
 @jax.jit
 def _remap_concat_jit(grids, flats):
     """[(T_j, C_j)] grids + per-grid [S] cell indices -> packed [sum T_j, S]."""
@@ -281,6 +297,7 @@ def load_forcings(
             flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
             chunk = rd.load_time_chunk(start_step, n_steps)
             _check_flat_bounds(flat, chunk.shape[1] * chunk.shape[2], spec)
+            _check_remap_finite(chunk, flat, spec)
             flats.append(flat)
             # Ship the grid and remap on device (see from_grid_series): the
             # host->device bytes scale with the GRID, not the basin.

@@ -85,16 +85,22 @@ class NetCDFReader:
 
         scale = scalar("scale_factor")
         offset = scalar("add_offset")
+        fill = attrs.get("_FillValue", attrs.get("missing_value"))
         if scale is not None or offset is not None:
             out = raw.astype(np.float64)
-            fill = attrs.get("_FillValue", attrs.get("missing_value"))
             if fill is not None:
                 out[raw == np.asarray(fill).reshape(-1)[0]] = np.nan
             out = out * (scale if scale is not None else 1.0) + (
                 offset if offset is not None else 0.0
             )
             return out.astype(np.float32)
-        return raw.astype(np.float32)
+        out = raw.astype(np.float32)
+        if fill is not None:
+            # Unpacked variables carry fill values too (ERA5-Land ocean
+            # cells): map them to NaN so downstream validation can tell a
+            # missing cell from a real value instead of integrating -9999.
+            out[raw == np.asarray(fill).reshape(-1)[0]] = np.nan
+        return out
 
     def attrs(self) -> dict:
         if self._classic:
