@@ -1,5 +1,7 @@
 """Coverage for controller parity modes, metrics, and BASELINE config #2."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -137,3 +139,22 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
 
     monkeypatch.setenv("TIGER_TPU_CACHE_DIR", "")
     assert enable_compile_cache() is None
+
+
+def test_calibration_example_runs(tmp_path):
+    """The ensemble-calibration example must run end to end and improve the
+    hydrograph objective over the prior."""
+    import re
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "examples/calibration.py", "--links", "8",
+         "--members", "8"],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = re.search(r"RMSE ([0-9.e-]+) -> ([0-9.e-]+)", proc.stdout)
+    assert m, proc.stdout
+    assert float(m.group(2)) <= float(m.group(1))

@@ -150,3 +150,26 @@ def test_sharded_log_accumulate_deep_chain_crossing_shards():
         routing.accumulate_downstream_sharded(jnp.asarray(q), plan, mesh)
     )
     np.testing.assert_allclose(acc, _brute_accumulate(q, topo.next_idx), rtol=1e-12)
+
+
+def test_link_runoff_clamps_negative_stores():
+    """Dense-interpolant overshoot (slightly negative h_surface) must give
+    zero outflow, not NaN (pow(negative, 2/3)) silently poisoning every
+    downstream discharge value."""
+    import jax.numpy as jnp
+
+    from tiger_tpu.routing import link_runoff_204
+
+    params = {
+        "n_mann": jnp.asarray([0.1, 0.1]), "slope": jnp.asarray([0.02, 0.02]),
+        "L": jnp.asarray([0.6, 0.6]), "A_h": jnp.asarray([0.76, 0.76]),
+        "alpha3": jnp.asarray([2880.0, 2880.0]),
+        "alpha4": jnp.asarray([79200.0, 79200.0]),
+    }
+    y = jnp.asarray([
+        [0.0, 0.0, -1e-7, -1e-9, 0.2],   # overshoot lane
+        [0.0, 0.0, 0.5, 1.0, 0.2],
+    ])
+    q = np.asarray(link_runoff_204(y, params))
+    assert np.isfinite(q).all()
+    assert q[0] >= 0.0 and q[1] > 0.0

@@ -88,7 +88,13 @@ def link_runoff_204(y: jax.Array, params) -> jax.Array:
     h_grav/alpha3 + baseflow h_aq/alpha4, scaled by hillslope area A_h.
     ``y`` is [S, N]; params the SoA dict.
     """
-    h_surf, h_grav, h_aq = y[:, 2], y[:, 3], y[:, 4]
+    # Clamp stores at 0: the dense interpolant can overshoot slightly
+    # negative near empty stores, and pow(negative, 2/3) is NaN — which
+    # would silently propagate into every downstream discharge value.
+    # Physically exact: outflow from an empty store is zero.
+    h_surf = jnp.maximum(y[:, 2], 0.0)
+    h_grav = jnp.maximum(y[:, 3], 0.0)
+    h_aq = jnp.maximum(y[:, 4], 0.0)
     alfa2 = (1.0 / params["n_mann"]) * jnp.power(h_surf, 2.0 / 3.0) * jnp.sqrt(
         params["slope"]
     )
