@@ -330,3 +330,39 @@ def test_chunked_resolves_stiff_lanes_per_window():
     # Window-1 dense row for the stiff lanes reflects the *resolved* window-0
     # state carried forward, not NaN/stale values.
     assert np.isfinite(np.asarray(res.dense)).all()
+
+
+def test_chunked_on_mesh_matches_single_device():
+    """solve_chunked(mesh=8 virtual devices) == solve_chunked().
+
+    Smooth dynamics (DummyModel): 1-row-per-shard XLA programs differ in
+    last-ulp arithmetic from the single-device program, which Model-204's
+    melt kink would amplify chaotically across windows — here the plumbing
+    (window carry, per-window sharded solves) is what's under test, and the
+    tolerance stays at rounding level.  (Bitwise mesh equality at realistic
+    shard sizes is pinned by tests/test_dist_equiv.py.)
+    """
+    import jax
+
+    from tiger_tpu.dist import systems_mesh
+    from tiger_tpu.models import DummyModel
+
+    y0 = jnp.tile(jnp.linspace(0.5, 2.0, 5)[None, :], (8, 1)) * jnp.arange(
+        1, 9
+    )[:, None] / 4.0
+    ref = solve_chunked(
+        DummyModel(), y0, 0.0, 4.0, chunk_minutes=1.0,
+        load_window=lambda a, b: None, query_interval=0.5,
+    )
+    mesh = systems_mesh(jax.devices()[:8])
+    res = solve_chunked(
+        DummyModel(), y0, 0.0, 4.0, chunk_minutes=1.0,
+        load_window=lambda a, b: None, query_interval=0.5,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.y_final), np.asarray(ref.y_final), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.dense), np.asarray(ref.dense), rtol=1e-12, atol=1e-12
+    )
