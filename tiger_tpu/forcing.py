@@ -109,22 +109,6 @@ class ForcingSet:
         meta = ForcingMeta(tuple(offsets), tuple(n_steps), tuple(float(d) for d in dt_minutes))
         return ForcingSet(data=data, meta=meta)
 
-    def time_slice(self, t0_min: float, t1_min: float) -> "ForcingSet":
-        """Window the packed data to [t0, t1) minutes (for chunked streaming).
-
-        The returned set is re-based so that gathers at absolute time t must
-        subtract t0 first; callers use this for double-buffered long runs.
-        """
-        series, dts = [], []
-        arr = np.asarray(self.data)
-        for off, n, dt in zip(self.meta.offsets, self.meta.n_steps, self.meta.dt_min):
-            k0 = max(0, min(n - 1, int(np.floor(t0_min / dt))))
-            k1 = max(k0 + 1, min(n, int(np.ceil(t1_min / dt))))
-            series.append(arr[off + k0 : off + k1])
-            dts.append(dt)
-        return ForcingSet.from_series(series, dts)
-
-
 def _check_flat_bounds(flat: np.ndarray, n_cells: int, spec) -> None:
     """Fail loudly on lookup rows outside the forcing grid: the device
     gather (jnp.take) CLIPS out-of-range indices, which would silently feed
