@@ -18,6 +18,7 @@ from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.api import solve, SolveResult
 from tiger_tpu.solver.rk45 import rk45_solve
 from tiger_tpu.solver.radau import radau_solve
+from tiger_tpu.chunked import solve_chunked
 from tiger_tpu.forcing import ForcingSet, ForcingMeta, ForcingSpec, load_forcings
 from tiger_tpu.models import DummyModel, Model200, Model204, get_model
 from tiger_tpu.streams import StreamSet
@@ -30,6 +31,7 @@ __all__ = [
     "SolveResult",
     "rk45_solve",
     "radau_solve",
+    "solve_chunked",
     "ForcingSet",
     "ForcingMeta",
     "ForcingSpec",
