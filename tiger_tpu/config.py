@@ -124,6 +124,10 @@ class SolverInfo:
     # performance path (pair it with rtol >= ~1e-5: tolerances below f32
     # rounding make every step reject).
     precision: str = "f64"
+    # Kernel-resident forcing precision (SolverConfig.forcing_dtype):
+    # 'bf16' halves the forcing VMEM footprint when long windows would
+    # otherwise force smaller kernel tiles.
+    forcing_precision: str = "f32"
 
 
 @dataclasses.dataclass
@@ -168,6 +172,7 @@ class SimulationConfig:
             min_scale=self.solver.min_scale,
             max_scale=self.solver.max_scale,
             initial_step=self.solver.initial_step,
+            forcing_dtype=self.solver.forcing_precision,
         )
 
 
@@ -255,9 +260,15 @@ def load_config(path: str) -> SimulationConfig:
             max_scale=float(tol.get("max_scale", 10.0)),
             initial_step=(None if s.get("initial_step") is None else float(s["initial_step"])),
             precision=str(s.get("precision", "f64")),
+            forcing_precision=str(s.get("forcing_precision", "f32")),
         )
         if cfg.solver.precision not in ("f64", "f32"):
             raise ValueError(f"solver.precision must be f64|f32, got {cfg.solver.precision}")
+        if cfg.solver.forcing_precision not in ("f32", "bf16"):
+            raise ValueError(
+                f"solver.forcing_precision must be f32|bf16, got "
+                f"{cfg.solver.forcing_precision}"
+            )
         if cfg.solver.precision == "f32" and cfg.solver.rtol < 5e-6:
             import warnings
 
