@@ -75,7 +75,8 @@ class SolverConfig:
     # per inner-loop iteration (monotone cursor per system, queries sorted).
     dense_chunk: int = 8
 
-    # Kernel-resident forcing precision (Pallas path only).  'bf16' halves
+    # Kernel-resident forcing precision (RK45 Pallas kernel; the Radau
+    # kernel keeps f32 — its VMEM is Newton-matrix-bound).  'bf16' halves
     # the forcing block's VMEM footprint — the enabler for 128-row tiles,
     # whose working set otherwise exceeds scoped VMEM (DESIGN.md roofline) —
     # and converts to f32 at gather time.  ~3 significant digits for the
