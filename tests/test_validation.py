@@ -23,7 +23,7 @@ def test_wrong_state_count():
 
 def test_param_row_mismatch():
     params = {k: jnp.full((3,), v) for k, v in NB_PARAMS.items()}
-    with pytest.raises(ValueError, match="one per system"):
+    with pytest.raises(ValueError, match="one row per system"):
         solve(Model204(), jnp.ones((2, 5)), 0.0, 1.0, params=params)
 
 

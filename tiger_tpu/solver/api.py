@@ -32,8 +32,13 @@ import time as _time
 _phase_times: dict = {}
 
 
+def _env_flag(name: str) -> bool:
+    """Env hook truthiness: '', '0', 'false' (any case) all mean OFF."""
+    return _os.environ.get(name, "").strip().lower() not in ("", "0", "false")
+
+
 def _phase_mark(name: str, t_start: float, *block_on) -> None:
-    if not _os.environ.get("TT_PHASE_PROFILE"):
+    if not _env_flag("TT_PHASE_PROFILE"):
         return
     for a in block_on:
         if a is not None:
@@ -138,10 +143,10 @@ def solve(
         )
     if params is not None:
         for k, v in params.items():
-            if np.shape(v)[0] != s_count:
+            if np.ndim(v) == 0 or np.shape(v)[0] != s_count:
                 raise ValueError(
-                    f"params[{k!r}] has {np.shape(v)[0]} rows; expected "
-                    f"{s_count} (one per system)"
+                    f"params[{k!r}] has shape {np.shape(v)}; expected "
+                    f"[{s_count}] (one row per system)"
                 )
     if forcings is not None and forcings.num_systems != s_count:
         raise ValueError(
@@ -149,8 +154,12 @@ def solve(
         )
     if query_times is not None:
         qt_check = np.asarray(query_times)
-        if qt_check.ndim != 1 or (len(qt_check) > 1 and (np.diff(qt_check) < 0).any()):
-            raise ValueError("query_times must be a 1-D ascending array")
+        if (
+            qt_check.ndim != 1
+            or np.isnan(qt_check).any()
+            or (len(qt_check) > 1 and (np.diff(qt_check) < 0).any())
+        ):
+            raise ValueError("query_times must be a 1-D ascending NaN-free array")
     if not (float(tf) > float(t0)):
         raise ValueError(f"tf ({tf}) must be greater than t0 ({t0})")
     if backend not in ("auto", "pallas", "xla"):
@@ -159,9 +168,16 @@ def solve(
     t_ph = _time.perf_counter()
     h0 = initial_step(model, y0, t0, params, forcings, config)
     _phase_mark("initial_step", t_ph, h0)
+    # Platform from y0's COMMITTED device when it has one (a CPU-committed
+    # batch on a TPU-attached host must take the XLA path, not the Mosaic
+    # kernel); uncommitted arrays follow the process default device.
+    _y0_devs = y0.devices() if hasattr(y0, "devices") else set()
+    _platform = (
+        next(iter(_y0_devs)).platform if _y0_devs else jax.devices()[0].platform
+    )
     on_tpu_f32 = (
         y0.dtype == jnp.float32
-        and jax.devices()[0].platform == "tpu"
+        and _platform == "tpu"
         and hasattr(model, "rhs_tuple")
     )
     use_pallas = backend == "pallas" or (
@@ -224,7 +240,7 @@ def solve(
     t_ph = _time.perf_counter()
     # TT_FORCE_DEVICE_RUNG: test hook — exercise this branch on CPU via the
     # kernel interpreter (tests/test_solve_device_rung.py).
-    force_rung = bool(_os.environ.get("TT_FORCE_DEVICE_RUNG"))
+    force_rung = _env_flag("TT_FORCE_DEVICE_RUNG")
     if n_stiff >= 1 and (on_tpu_f32 or force_rung) and backend != "xla":
         from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
 
@@ -244,6 +260,22 @@ def solve(
             None if forcings is None else forcings.data,
             jnp.asarray(pad0),
         )
+        if mesh is not None:
+            # Mesh runs: the gather output is committed across the mesh
+            # devices; the (single-device) Radau pallas_call and the merge
+            # need it compacted to one device — mirror the CPU pipeline's
+            # host compaction (all shards are addressable per the mesh
+            # layout contract enforced above).
+            dev0 = jax.devices()[0]
+            compact = lambda a: None if a is None else jax.device_put(
+                np.asarray(a), dev0
+            )
+            y0_sub, h0_sub, forc_sub = (
+                compact(y0_sub), compact(h0_sub), compact(forc_sub)
+            )
+            params_sub = None if params_sub is None else {
+                k: compact(v) for k, v in params_sub.items()
+            }
         forc0 = None
         if forc_sub is not None:
             forc0 = ForcingSet(data=forc_sub, meta=forcings.meta)
@@ -269,6 +301,7 @@ def solve(
             y_final, dense, failed = _merge_gather_apply(
                 y_final, dense, failed, rows_p, rdk.y_final, rdk.dense, rel_p
             )
+            # NOTE: stats arrays are [bucket]-shaped (padding lanes included).
             radau_stats = rdk.stats
         stiff_mask = np.zeros_like(stiff_mask)
         stiff_mask[idx0[~ok]] = True
@@ -428,7 +461,8 @@ def solve(
                     np.asarray(rd.dense)[:n2],
                     np.asarray(rd.failed)[:n2],
                 )
-                radau_stats = getattr(rd, "stats", None)
+                # Segmented retries carry no stats; keep the device rung's.
+                radau_stats = getattr(rd, "stats", None) or radau_stats
                 _phase_mark("stiff_radau_retry", t_sub)
 
         if pending:
