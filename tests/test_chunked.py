@@ -366,3 +366,67 @@ def test_chunked_on_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(res.dense), np.asarray(ref.dense), rtol=1e-12, atol=1e-12
     )
+
+
+class TimeProbe:
+    """dy/dt = cos(2*pi*t / 1440) — depends ONLY on absolute time, so any
+    window-relative time leak in chunked solving shows up immediately."""
+
+    N_EQ = 1
+    UID = 901
+
+    def rhs(self, t, y, params, forcings=None):
+        return jnp.broadcast_to(
+            jnp.cos(2.0 * jnp.pi * t / 1440.0), np.shape(y)
+        ).astype(y.dtype)
+
+    def rhs_tuple(self, t, y, params, forcings=None):
+        return tuple(jnp.cos(2.0 * jnp.pi * t / 1440.0) + 0.0 * yi for yi in y)
+
+
+def test_chunked_passes_absolute_time_to_model():
+    """Time-dependent physics must see ABSOLUTE simulation time in chunked
+    runs (window-relative time froze Model 200's day-of-year)."""
+    model = TimeProbe()
+    y0 = jnp.zeros((3, 1))
+    tf = 2880.0
+    qt = jnp.arange(0.0, tf + 1, 360.0)
+    ref = solve(model, y0, 0.0, tf, qt)
+    res = solve_chunked(
+        model, y0, 0.0, tf, chunk_minutes=720.0,
+        load_window=lambda a, b: None, query_interval=360.0,
+    )
+    # Exact integral: y(t) = (1440 / 2pi) * sin(2pi t / 1440), amplitude 229;
+    # a window-relative time leak would instead accumulate monotonically
+    # (every window re-integrates the first quarter-wave).
+    exact = 1440.0 / (2 * np.pi) * np.sin(2 * np.pi * np.asarray(qt) / 1440.0)
+    np.testing.assert_allclose(
+        np.asarray(res.dense)[:, :, 0],
+        np.broadcast_to(exact, (3, len(exact))),
+        rtol=1e-5, atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.y_final), np.asarray(ref.y_final), rtol=1e-6, atol=1e-3
+    )
+
+
+def test_solve_t_shift_pallas_interpret_matches_absolute():
+    """The kernel path applies t_shift to the model rhs identically to an
+    absolute-time integration (forcing gathers stay window-relative)."""
+    from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
+
+    model = TimeProbe()
+    y0 = jnp.zeros((4, 1), jnp.float32)
+    h0 = jnp.full((4,), 1.0, jnp.float32)
+    shift = 4320.0  # integrate the quarter-wave [shift, shift+360]
+    abs_run = rk45_solve_pallas(
+        model, y0, shift, shift + 360.0, None, h0=h0, interpret=True
+    )
+    rel_run = rk45_solve_pallas(
+        model, y0, 0.0, 360.0, None, h0=h0, interpret=True, t_shift=shift
+    )
+    exact = 1440.0 / (2 * np.pi)  # sin increment over a quarter wave
+    np.testing.assert_allclose(np.asarray(abs_run.y_final), exact, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(rel_run.y_final), np.asarray(abs_run.y_final), rtol=1e-4
+    )

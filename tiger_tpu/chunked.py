@@ -100,7 +100,6 @@ def solve_chunked(
     y = jnp.asarray(y0)
     s_count, n_eq = y.shape
     all_dense = []
-    all_qt = []
     all_routed = []
     stiff_any = jnp.zeros((s_count,), bool)
     failed_any = jnp.zeros((s_count,), bool)
@@ -153,14 +152,18 @@ def solve_chunked(
                 # The window-relative gather equals the absolute ZOH series
                 # only when window boundaries land on forcing-sample
                 # boundaries (module docstring); validate rather than
-                # silently shifting.
+                # silently shifting.  t0 must itself be dt-aligned — a
+                # custom load_window with an off-grid t0 would silently
+                # shift every sample (netcdf_window_loader re-checks per
+                # window, arbitrary callables do not).
                 for dt_min in forcings.meta.dt_min:
-                    if abs(chunk_minutes / dt_min - round(chunk_minutes / dt_min)) > 1e-9:
-                        raise ValueError(
-                            f"chunk_minutes={chunk_minutes} is not a multiple of "
-                            f"forcing dt={dt_min} min; window-relative forcing "
-                            "gathers would diverge from the unchunked series"
-                        )
+                    for what, val in (("chunk_minutes", chunk_minutes), ("t0", t0)):
+                        if abs(val / dt_min - round(val / dt_min)) > 1e-9:
+                            raise ValueError(
+                                f"{what}={val} is not a multiple of forcing "
+                                f"dt={dt_min} min; window-relative forcing "
+                                "gathers would diverge from the unchunked series"
+                            )
 
             qt = None
             if query_interval is not None:
@@ -179,7 +182,6 @@ def solve_chunked(
                 # Keep qt on the HOST: api.solve validates it with np.asarray,
                 # which for a device array is a blocking pull every window.
                 qt = qt_abs - w_start
-                all_qt.append(qt_abs)
 
             res = solve(
                 model,
@@ -192,6 +194,9 @@ def solve_chunked(
                 config=config,
                 mesh=mesh,
                 backend=backend,
+                # Window time is relative; time-dependent physics (Model
+                # 200's day-of-year) must see ABSOLUTE simulation time.
+                t_shift=w_start,
             )
             # ONE jitted bookkeeping step: eager where/or/add ops each pay a
             # dispatch round trip per window on a remote-attached device.
@@ -274,6 +279,8 @@ def netcdf_window_loader(
     }
     flat_cache: dict = {}  # (lookup, lon_size) -> [S] device index (uploaded once)
 
+    from tiger_tpu.forcing import _check_flat_bounds, _check_remap_finite
+
     def load_window(w_start: float, w_end: float) -> ForcingSet:
         grids, dts, flats = [], [], []
         for spec in specs:
@@ -292,18 +299,17 @@ def netcdf_window_loader(
                 chunk = rd.load_time_chunk(k0c, k1c - k0c)
                 cache_key = (lut_key, rd.lon_size)
                 if cache_key not in flat_cache:
-                    from tiger_tpu.forcing import (
-                        _check_flat_bounds,
-                        _check_remap_finite,
+                    flat_np = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
+                    flat_cache[cache_key] = (
+                        flat_np, jnp.asarray(flat_np, jnp.int32)
                     )
-
-                    flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
-                    _check_flat_bounds(
-                        flat, chunk.shape[1] * chunk.shape[2], spec
-                    )
-                    _check_remap_finite(chunk, flat, spec)
-                    flat_cache[cache_key] = jnp.asarray(flat, jnp.int32)
-                flats.append(flat_cache[cache_key])
+                flat_np, flat_dev = flat_cache[cache_key]
+                # Validate EVERY spec and EVERY window (the host check is two
+                # [S] gathers): grids sharing a cache key can still differ in
+                # extent/missing cells, and fill values can appear mid-record.
+                _check_flat_bounds(flat_np, chunk.shape[1] * chunk.shape[2], spec)
+                _check_remap_finite(chunk, flat_np, spec)
+                flats.append(flat_dev)
                 # Ship the grid, remap on device (ForcingSet.from_grid_series):
                 # per window this is n_cells values per step over the link
                 # instead of S — the upload no longer scales with basin size.

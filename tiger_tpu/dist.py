@@ -59,7 +59,8 @@ def _pad_batch(arr, n_pad, axis=0):
     static_argnames=("model", "t0", "tf", "meta", "config", "mesh", "backend"),
 )
 def _sharded_rk45(
-    model, y0, t0, tf, qt, params, forc_data, meta, h0, config, mesh, backend="xla"
+    model, y0, t0, tf, qt, params, forc_data, meta, h0, config, mesh,
+    backend="xla", t_shift=0.0,
 ):
     spec_b = P("systems")  # batch-major shards
     spec_forc = P(None, "systems")  # forcing is [T, S]
@@ -86,9 +87,11 @@ def _sharded_rk45(
             return _pallas_pipeline(
                 model, y0_s, h0_s, p_dict, forc_s, qt,
                 t0, tf, meta, config, param_fields, interpret,
+                t_shift,  # closure capture: replicated scalar per shard
             )
         return rk45_solve_traced(
-            model, y0_s, t0, tf, qt, params_s, forc_s, meta, h0_s, config
+            model, y0_s, t0, tf, qt, params_s, forc_s, meta, h0_s, config,
+            t_shift,
         )
 
     # check_vma=False: the while-loop carries start replicated (t0, cursors)
@@ -122,6 +125,7 @@ def rk45_solve_sharded(
     config: SolverConfig = SolverConfig(),
     mesh: Optional[Mesh] = None,
     backend: str = "xla",
+    t_shift=0.0,
 ) -> RK45Result:
     """RK45 over a device mesh: systems split evenly across devices.
 
@@ -154,7 +158,7 @@ def rk45_solve_sharded(
 
     res = _sharded_rk45(
         model, y0p, float(t0), float(tf), qt, params_p, forc_data, meta, h0p,
-        config, mesh, backend,
+        config, mesh, backend, jnp.asarray(t_shift, y0.dtype),
     )
     if n_pad:
         res = jax.tree.map(lambda a: a[:s_count], res)

@@ -138,6 +138,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         # unwindowed calls pass (t0, tf).
         t0_s = bounds_smem[0, 0]
         tf_s = bounds_smem[0, 1]
+        shift_s = bounds_smem[0, 2]  # absolute-time shift for the model rhs
         y0 = tuple(y0_ref[i] for i in range(n_eq))
         qt2 = qt_ref[...] if q_total > 0 else None
         r = y0[0].shape[0]
@@ -149,7 +150,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             p_base = model.derived_params(p_base)  # hoisted loop invariants
 
         def rhs(t, y, f_vals):
-            return model.rhs_tuple(t, y, p_base, f_vals)
+            return model.rhs_tuple(t + shift_s, y, p_base, f_vals)
 
         def b2i(m):
             return m.astype(i32)
@@ -401,8 +402,12 @@ def radau_solve_pallas(
     h0=None,
     config: SolverConfig = SolverConfig(),
     interpret: bool = False,
+    t_shift=0.0,
 ) -> RadauResult:
-    """Fused-kernel Radau IIA over ``y0[S, N]`` (float32 path)."""
+    """Fused-kernel Radau IIA over ``y0[S, N]`` (float32 path).
+
+    ``t_shift``: traced absolute-time offset seen by the model rhs only
+    (see rk45_solve_pallas)."""
     from tiger_tpu.solver.controller import initial_step
 
     y0 = jnp.asarray(y0, jnp.float32)
@@ -433,6 +438,7 @@ def radau_solve_pallas(
     return _pipeline(
         model, y0, h0, params, forc_data, qt,
         float(t0), float(tf), meta, config, param_fields, bool(interpret),
+        jnp.asarray(t_shift, jnp.float32),
     )
 
 
@@ -443,6 +449,7 @@ def radau_solve_pallas(
 def _pipeline(
     model, y0, h0, params, forc_data, query_times,
     t0, tf, meta, config, param_fields, interpret,
+    t_shift=0.0,
 ):
     s_count, n_eq = y0.shape
     q_total = 0 if query_times is None else query_times.shape[0]
@@ -479,7 +486,7 @@ def _pipeline(
     )
     row_map = lambda i: (0, i, 0)
     in_specs = [
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
@@ -517,7 +524,10 @@ def _pipeline(
         qt_m = jnp.zeros((1, qp), jnp.float32)
         if q_total > 0:
             qt_m = query_times[None, :]
-        bounds = jnp.asarray([[t0, tf]], jnp.float32)
+        bounds = jnp.stack(
+            [jnp.full((), t0, jnp.float32), jnp.full((), tf, jnp.float32),
+             jnp.asarray(t_shift, jnp.float32)]
+        )[None, :]
         h_pair = jnp.concatenate([h0_m, h0_m], axis=0)
         yf, dense, failed, stats, _ = call(bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m)
     else:
@@ -536,7 +546,8 @@ def _pipeline(
         idxs = jnp.arange(n_w)
         starts = jnp.where(idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)])
         ends = jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1])
-        bounds_seq = jnp.stack([starts, ends], axis=1).astype(jnp.float32)
+        shifts = jnp.full((n_w,), jnp.asarray(t_shift, jnp.float32))
+        bounds_seq = jnp.stack([starts, ends, shifts], axis=1).astype(jnp.float32)
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
 
         def wbody(carry, xs):

@@ -192,6 +192,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         # unwindowed calls pass (t0, tf).
         t0_s = bounds_smem[0, 0]
         tf_s = bounds_smem[0, 1]
+        # Absolute-time shift for the MODEL rhs only (chunked runs integrate
+        # window-relative time; Model 200's day-of-year needs absolute t).
+        # Forcing gathers stay window-relative by design.
+        shift_s = bounds_smem[0, 2]
         y0 = tuple(y0_ref[i] for i in range(n_eq))  # N x (R, 128)
         qt2 = qt_ref[...] if q_total > 0 else None  # (1, Qp) value, reductions
         r = y0[0].shape[0]
@@ -210,7 +214,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             # model.rhs_tuple consumes indexables of (R,128) blocks: every
             # "scalar" in the physics is a lane vector and vectorizes on the
             # VPU without any stacking.
-            return model.rhs_tuple(t, y, p_base, f_vals)
+            return model.rhs_tuple(t + shift_s, y, p_base, f_vals)
 
         # Dense buffer lives in the OUTPUT ref (VMEM): the fill loop needs
         # dynamically-indexed row reads/writes, which Mosaic supports on refs
@@ -439,13 +443,17 @@ def rk45_solve_pallas(
     h0: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     interpret: bool = False,
+    t_shift=0.0,
 ) -> RK45Result:
     """Fused-kernel RK45 over ``y0[S, N]`` (float32 path).
 
     Drop-in for tiger_tpu.solver.rk45.rk45_solve (same result structure; the
     stiff subset still goes through the standard Radau pipeline).  ``params``
     must contain every field the model reads.  ``interpret=True`` runs the
-    kernel in the Pallas interpreter (CPU tests).
+    kernel in the Pallas interpreter (CPU tests).  ``t_shift`` (traced
+    scalar, minutes) offsets the time seen by the MODEL's rhs — chunked runs
+    integrate window-relative time but time-dependent physics (Model 200's
+    doy) must see absolute time; forcing gathers stay window-relative.
     """
     from tiger_tpu.solver.controller import initial_step
 
@@ -486,6 +494,7 @@ def rk45_solve_pallas(
     return _pallas_pipeline(
         model, y0, h0, params, forc_data, qt,
         float(t0), float(tf), meta, config, param_fields, bool(interpret),
+        jnp.asarray(t_shift, jnp.float32),
     )
 
 
@@ -496,6 +505,7 @@ def rk45_solve_pallas(
 def _pallas_pipeline(
     model, y0, h0, params, forc_data, query_times,
     t0, tf, meta, config, param_fields, interpret,
+    t_shift=0.0,
 ):
     s_count, n_eq = y0.shape
     q_total = 0 if query_times is None else query_times.shape[0]
@@ -542,7 +552,7 @@ def _pallas_pipeline(
     grid = (n_tiles,)
     row_map = lambda i: (0, i, 0)
     in_specs = [
-        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
@@ -580,7 +590,10 @@ def _pallas_pipeline(
         qt_m = jnp.zeros((1, qp), jnp.float32)
         if q_total > 0:
             qt_m = query_times[None, :]
-        bounds = jnp.asarray([[t0, tf]], jnp.float32)
+        bounds = jnp.stack(
+            [jnp.full((), t0, jnp.float32), jnp.full((), tf, jnp.float32),
+             jnp.asarray(t_shift, jnp.float32)]
+        )[None, :]
         h_pair = jnp.concatenate([h0_m, h0_m], axis=0)
         yf, dense, stiff, stats, _ = call(
             bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m
@@ -607,7 +620,10 @@ def _pallas_pipeline(
             idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)]
         )
         ends = jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1])
-        bounds_seq = jnp.stack([starts, ends], axis=1).astype(jnp.float32)  # [n_w, 2]
+        shifts = jnp.full((n_w,), jnp.asarray(t_shift, jnp.float32))
+        bounds_seq = jnp.stack([starts, ends, shifts], axis=1).astype(
+            jnp.float32
+        )  # [n_w, 3]
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
 
         def wbody(carry, xs):

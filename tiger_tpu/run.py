@@ -252,9 +252,14 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
                     k: jnp.asarray(v, dtype)
                     for k, v in params_mod.model_params(sp_full).items()
                 }
+                # global_params broadcast like the local slice got (line 78):
+                # link_runoff needs the same fields on the full table.
+                for name, value in cfg.global_params.items():
+                    if name not in full_params:
+                        full_params[name] = jnp.full((s_total,), value, dtype)
                 slices = split_even(s_total, jax.process_count())
                 max_len = max(sl.stop - sl.start for sl in slices)
-                local = jnp.nan_to_num(jnp.asarray(res.dense))
+                local = jnp.asarray(res.dense)
                 local = jnp.pad(
                     local, ((0, max_len - n_sys), (0, 0), (0, 0))
                 )
@@ -479,7 +484,7 @@ def _run_chunked(
         "num_systems": len(link_ids),
         "n_stiff": res.n_stiff,
         "n_failed": int(np.asarray(res.failed).sum()),
-        "n_windows": int(np.ceil((tf - t_start) / chunk_minutes - 1e-9)),
+        "n_windows": max(1, int(np.ceil((tf - t_start) / chunk_minutes - 1e-9))),
         "final_path": final_path,
         "dense_path": dense_path,
         "state_path": state_path,

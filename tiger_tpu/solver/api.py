@@ -120,8 +120,14 @@ def solve(
     config: SolverConfig = SolverConfig(),
     mesh=None,
     backend: str = "auto",
+    t_shift=0.0,
 ) -> SolveResult:
     """Integrate ``y0[S, N]`` from t0 to tf with dense output at query_times.
+
+    ``t_shift`` (traced scalar, minutes): absolute-time offset seen by the
+    MODEL's rhs — chunked runs integrate each window in window-relative time
+    but time-dependent physics (Model 200's day-of-year) must see absolute
+    simulation time.  Forcing gathers are not shifted.
 
     Mirrors the reference's clean entry ``run_rk45<Model>``
     (src/solver/rk45_api.hpp:273-313) including the stiff second pass.
@@ -192,7 +198,7 @@ def solve(
         interpret = jax.devices()[0].platform != "tpu"
         rk = rk45_solve_pallas(
             model, y0, t0, tf, query_times, params, forcings, h0, config,
-            interpret=interpret,
+            interpret=interpret, t_shift=t_shift,
         )
     elif mesh is not None:
         from tiger_tpu.dist import rk45_solve_sharded
@@ -202,10 +208,13 @@ def solve(
         )) else "xla"
         rk = rk45_solve_sharded(
             model, y0, t0, tf, query_times, params, forcings, h0, config, mesh,
-            backend=shard_backend,
+            backend=shard_backend, t_shift=t_shift,
         )
     else:
-        rk = rk45_solve(model, y0, t0, tf, query_times, params, forcings, h0, config)
+        rk = rk45_solve(
+            model, y0, t0, tf, query_times, params, forcings, h0, config,
+            t_shift=t_shift,
+        )
     _phase_mark("rk_phase", t_ph, rk.y_final, rk.dense)
 
     # Count flags on device first: pulling the full [S] mask costs a
@@ -290,6 +299,7 @@ def solve(
             h0=h0_sub,
             config=config,
             interpret=jax.devices()[0].platform != "tpu",
+            t_shift=t_shift,
         )
         ok = ~np.asarray(rdk.failed)[: len(idx0)]
         ok_rel = np.nonzero(ok)[0]
@@ -401,11 +411,11 @@ def solve(
                     fn = rk45_solve if method == "rk45" else radau_solve
                     return fn(
                         model, y0_x, t0, tf, None, params_x, forc_x,
-                        h0=h0_x, config=config,
+                        h0=h0_x, config=config, t_shift=t_shift,
                     )
                 return segmented_solve(
                     model, method, y0_x, t0, tf, qt_sub, params_x, forc_x,
-                    h0=h0_x, config=config,
+                    h0=h0_x, config=config, t_shift=t_shift,
                 )
 
             # First: an f64 RK45 retry of the flagged lanes.  Flags raised by the

@@ -225,13 +225,15 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("model", "t0", "tf", "meta", "config"))
-def _radau_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
+def _radau_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config,
+                      t_shift=0.0):
     if params is not None and hasattr(model, "derived_params"):
         params = model.derived_params(params)  # hoisted loop invariants
 
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
-            return model.rhs(t, y, p_row, f_vals)
+            # t_shift: absolute-time offset for the model rhs (see rk45).
+            return model.rhs(t + t_shift, y, p_row, f_vals)
 
         gather = None
         if forc_col is not None:
@@ -252,6 +254,7 @@ def radau_solve(
     forcings: Optional[ForcingSet] = None,
     h0: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
+    t_shift=0.0,
 ) -> RadauResult:
     """Batched Radau IIA integration of ``y0[S, N]`` from t0 to tf.
 
@@ -271,5 +274,6 @@ def radau_solve(
     forc_data = None if forcings is None else forcings.data
     meta = None if forcings is None else forcings.meta
     return _radau_solve_impl(
-        model, y0, float(t0), float(tf), qt, params, forc_data, meta, h0, config
+        model, y0, float(t0), float(tf), qt, params, forc_data, meta, h0, config,
+        jnp.asarray(t_shift, y0.dtype),
     )

@@ -287,8 +287,15 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 import functools
 
 
-def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config):
-    """Traceable (un-jitted) batched solve — composes under shard_map/pjit."""
+def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config,
+                      t_shift=0.0):
+    """Traceable (un-jitted) batched solve — composes under shard_map/pjit.
+
+    ``t_shift`` (traced scalar) offsets the time the MODEL rhs sees —
+    chunked runs integrate window-relative time, but time-dependent physics
+    (Model 200's day-of-year) must see absolute time.  Forcing gathers stay
+    window-relative.
+    """
     if params is not None and hasattr(model, "derived_params"):
         # Hoist loop-invariant parameter math (reciprocals, Manning
         # coefficient) out of the per-step RHS — computed once over the
@@ -297,7 +304,7 @@ def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config
 
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
-            return model.rhs(t, y, p_row, f_vals)
+            return model.rhs(t + t_shift, y, p_row, f_vals)
 
         gather = None
         if forc_col is not None:
@@ -323,6 +330,7 @@ def rk45_solve(
     forcings: Optional[ForcingSet] = None,
     h0: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
+    t_shift=0.0,
 ) -> RK45Result:
     """Batched RK45 integration of ``y0[S, N]`` from t0 to tf.
 
@@ -346,5 +354,6 @@ def rk45_solve(
     forc_data = None if forcings is None else forcings.data
     meta = None if forcings is None else forcings.meta
     return _rk45_solve_impl(
-        model, y0, float(t0), float(tf), qt, params, forc_data, meta, h0, config
+        model, y0, float(t0), float(tf), qt, params, forc_data, meta, h0, config,
+        jnp.asarray(t_shift, y0.dtype),
     )

@@ -40,12 +40,14 @@ class SegmentedResult(NamedTuple):
 @functools.partial(
     jax.jit, static_argnames=("model", "method", "meta", "config")
 )
-def _segment(model, method, y0, h0, t0v, t1v, params, forc_data, meta, config):
+def _segment(model, method, y0, h0, t0v, t1v, params, forc_data, meta, config,
+             t_shift=0.0):
     """One segment [t0v, t1v] (traced bounds), no dense output."""
 
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
-            return model.rhs(t, y, p_row, f_vals)
+            # t_shift: absolute-time offset for the model rhs (see rk45).
+            return model.rhs(t + t_shift, y, p_row, f_vals)
 
         gather = None
         if forc_col is not None:
@@ -68,6 +70,7 @@ def segmented_solve(
     forcings: Optional[ForcingSet] = None,
     h0=None,
     config: SolverConfig = SolverConfig(),
+    t_shift=0.0,
 ) -> SegmentedResult:
     y0 = jnp.asarray(y0)
     s_count, n_eq = y0.shape
@@ -100,6 +103,7 @@ def segmented_solve(
             model, method, y, h0,
             float(t_a), float(t_b),
             params, forc_data, meta, config,
+            jnp.asarray(t_shift, dtype),
         )
         if method == "rk45":
             stiff_any = stiff_any | res.stiff
