@@ -430,3 +430,20 @@ def test_solve_t_shift_pallas_interpret_matches_absolute():
     np.testing.assert_allclose(
         np.asarray(rel_run.y_final), np.asarray(abs_run.y_final), rtol=1e-4
     )
+
+
+def test_checkpoint_interval_rejects_offgrid_windows(tmp_path):
+    """checkpoint_interval with window ends off the query grid must refuse
+    up front (such checkpoints could never be resumed)."""
+    from tests.test_cli import make_scenario
+    from tiger_tpu.config import load_config
+    from tiger_tpu.run import run
+
+    sc = make_scenario(tmp_path)
+    cfg = load_config(str(sc["cfg_path"]))
+    cfg.time.chunk_days = 1.5
+    cfg.output.print_interval = "1d"
+    cfg.output.checkpoint_interval = "1d"
+    cfg.output.path = str(tmp_path / "out")
+    with pytest.raises(ValueError, match="multiple of"):
+        run(cfg, use_mesh=False)
