@@ -42,21 +42,29 @@ class NetCDFReader:
             from scipy.io import netcdf_file
 
             self._f = netcdf_file(path, "r", mmap=True)
-            if var_name not in self._f.variables:
-                raise KeyError(f"Variable {var_name!r} not found in {path}")
-            self._var = self._f.variables[var_name]
-            shape = self._var.shape
         else:
             self._f = h5py.File(path, "r")
-            if var_name not in self._f:
-                self._f.close()
-                raise KeyError(f"Variable {var_name!r} not found in {path}")
-            self._var = self._f[var_name]
+        # Close on EVERY init failure: forcing folder discovery probes many
+        # candidate files and catches these errors, so a leaked handle per
+        # probe accumulates (and HDF5 read locks can block later writers).
+        self._var = None
+        try:
+            if self._classic:
+                if var_name not in self._f.variables:
+                    raise KeyError(f"Variable {var_name!r} not found in {path}")
+                self._var = self._f.variables[var_name]
+            else:
+                if var_name not in self._f:
+                    raise KeyError(f"Variable {var_name!r} not found in {path}")
+                self._var = self._f[var_name]
             shape = self._var.shape
-        if len(shape) != 3:
-            raise ValueError(
-                f"Expected 3D variable (time, lat, lon), got {len(shape)}D"
-            )
+            if len(shape) != 3:
+                raise ValueError(
+                    f"Expected 3D variable (time, lat, lon), got {len(shape)}D"
+                )
+        except Exception:
+            self.close()
+            raise
         self.time_size, self.lat_size, self.lon_size = shape
         self.path, self.var_name = path, var_name
 
@@ -69,7 +77,7 @@ class NetCDFReader:
         """
         if count <= 0:
             raise ValueError("Size of time chunk must be greater than zero")
-        if start >= self.time_size:
+        if start < 0 or start >= self.time_size:
             raise IndexError("Start time index out of range")
         if start + count > self.time_size:
             raise IndexError("Requested time steps exceed available data")
@@ -102,10 +110,17 @@ class NetCDFReader:
             out[raw == np.asarray(fill).reshape(-1)[0]] = np.nan
         return out
 
+    #: HDF5 dimension-scale bookkeeping attrs — not CF metadata.
+    _HDF5_INTERNAL = ("DIMENSION_LIST", "REFERENCE_LIST", "NAME", "CLASS")
+
     def attrs(self) -> dict:
         if self._classic:
             return dict(getattr(self._var, "_attributes", {}))
-        return {k: v for k, v in self._var.attrs.items() if not k.startswith("_Netcdf")}
+        return {
+            k: v
+            for k, v in self._var.attrs.items()
+            if not k.startswith("_Netcdf") and k not in self._HDF5_INTERNAL
+        }
 
     def time_info(self):
         """(time coordinate values, units string) or (None, None).
@@ -166,10 +181,14 @@ class NetCDFWriter:
         """Define a dimension, optionally with coordinate values."""
         if coord is not None:
             ds = self._f.create_dataset(name, data=np.asarray(coord, dtype))
+            ds.make_scale(name)
         else:
             ds = self._f.create_dataset(name, shape=(size,), dtype="f4")
+            ds.make_scale(name)
+            # AFTER make_scale (which overwrites NAME with the plain dim
+            # name): the anonymous marker is what tells netCDF4/xarray this
+            # is a dimension without a coordinate variable, not f4 zeros.
             ds.attrs["NAME"] = np.bytes_(f"{_DIM_ANON} {size}".encode())
-        ds.make_scale(name)
         ds.attrs["_Netcdf4Dimid"] = np.int32(self._dimid)
         self._dimid += 1
         self._dims[name] = ds

@@ -24,6 +24,27 @@ import numpy as np
 from tiger_tpu.io.netcdf import NetCDFWriter
 
 
+
+def _def_output_dims(w, link_ids, query_times=None, state_ids=None):
+    """Shared dimension/coordinate boilerplate of every output layout.
+
+    One source of truth for names, dtypes and CF attrs: the writers
+    (final, dense, packed-dense, windowed) diverged silently when these
+    were copy-pasted per writer.
+    """
+    w.def_dim("system", len(link_ids), np.asarray(link_ids, np.int32), np.int32)
+    w.set_dim_attrs("system", {"long_name": "LinkID"})
+    if query_times is not None:
+        w.def_dim("time", len(query_times), np.asarray(query_times, np.float64), np.float64)
+        w.set_dim_attrs(
+            "time", {"long_name": "Time", "units": "minutes since start of simulation"}
+        )
+    if state_ids is not None:
+        w.def_dim("variable", len(state_ids), np.asarray(state_ids, np.int32), np.int32)
+        w.set_dim_attrs(
+            "variable", {"long_name": "state variable", "units": "various units"}
+        )
+
 def write_final_netcdf(
     path: str,
     y_final: np.ndarray,  # [S, N]
@@ -43,10 +64,7 @@ def write_final_netcdf(
     if state_ids is None:
         state_ids = np.arange(n_eq, dtype=np.int32)
     with NetCDFWriter(path) as w:
-        w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
-        w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
-        w.set_dim_attrs("system", {"long_name": "LinkID"})
-        w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
+        _def_output_dims(w, link_ids, state_ids=state_ids)
         w.def_var("outputs", y_final, ("system", "variable"), compression_level, dtype=dtype)
 
 
@@ -70,12 +88,7 @@ def write_dense_netcdf(
     if state_ids is None:
         state_ids = np.arange(n_eq, dtype=np.int32)
     with NetCDFWriter(path) as w:
-        w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
-        w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
-        w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
-        w.set_dim_attrs("system", {"long_name": "LinkID"})
-        w.set_dim_attrs("time", {"long_name": "Time", "units": "minutes since start of simulation"})
-        w.set_dim_attrs("variable", {"long_name": "state variable", "units": "various units"})
+        _def_output_dims(w, link_ids, query_times, state_ids)
         w.def_var("outputs", dense, ("system", "time", "variable"), compression_level, dtype=dtype)
 
 
@@ -95,8 +108,14 @@ def _pack_cf_int16(dense):
     lo = jnp.min(jnp.where(finite, x, big), axis=(0, 1))
     hi = jnp.max(jnp.where(finite, x, -big), axis=(0, 1))
     lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)  # all-NaN state: lo>hi
-    scale = jnp.maximum((hi - lo) / 65532.0, jnp.float32(1e-30))
-    offset = (hi + lo) * 0.5
+    # Divide BEFORE subtracting: hi-lo overflows f32 to inf when a state
+    # spans huge-but-finite magnitudes (scale=inf would then quantize EVERY
+    # sample to code 0 silently).  hi/65532 - lo/65532 cannot overflow, and
+    # an (x-offset) overflow in the quantizer just saturates via the clip.
+    # (f64 here is not an option: x64 is off in TPU processes and jnp would
+    # silently downcast.)
+    scale = jnp.maximum(hi / 65532.0 - lo / 65532.0, jnp.float32(1e-30))
+    offset = hi * 0.5 + lo * 0.5
     q = jnp.clip(jnp.round((x - offset) / scale), -32766.0, 32766.0)
     q = jnp.where(finite, q.astype(jnp.int16), jnp.int16(-32767))
     return q, scale, offset
@@ -130,10 +149,7 @@ def write_dense_netcdf_packed(
     scale = np.asarray(scale, np.float64)
     offset = np.asarray(offset, np.float64)
     with NetCDFWriter(path) as w:
-        w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
-        w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
-        w.set_dim_attrs("system", {"long_name": "LinkID"})
-        w.set_dim_attrs("time", {"long_name": "Time", "units": "minutes since start of simulation"})
+        _def_output_dims(w, link_ids, query_times)
         for v in range(n_eq):
             w.def_var(
                 f"outputs_{int(state_ids[v])}",
@@ -194,16 +210,40 @@ class WindowedVarWriter:
                     f"resume requested but output file is missing: {path}"
                 )
             f = h5py.File(path, "r+")
-            ds = f[var_name]
-            want = (s_count, n_q) if state_ids is None else (
-                s_count, n_q, len(state_ids)
-            )
-            if ds.shape != want:
-                f.close()
-                raise ValueError(
-                    f"resume shape mismatch for {path}:{var_name}: file has "
-                    f"{ds.shape}, run needs {want}"
+            try:
+                if var_name not in f:
+                    raise KeyError(
+                        f"resume file {path} has no variable {var_name!r}"
+                    )
+                ds = f[var_name]
+                want = (s_count, n_q) if state_ids is None else (
+                    s_count, n_q, len(state_ids)
                 )
+                if ds.shape != want:
+                    raise ValueError(
+                        f"resume shape mismatch for {path}:{var_name}: file "
+                        f"has {ds.shape}, run needs {want}"
+                    )
+                # Shapes matching is not enough: a changed config can hit the
+                # same counts while meaning different links/times/precision —
+                # mixing old and new windows in one file would look valid.
+                for dim, vals in (
+                    ("system", np.asarray(link_ids, np.int32)),
+                    ("time", np.asarray(query_times, np.float64)),
+                ):
+                    if dim in f and not np.array_equal(np.asarray(f[dim]), vals):
+                        raise ValueError(
+                            f"resume coordinate mismatch for {path}:{dim} — "
+                            "the run's links/query grid differ from the file's"
+                        )
+                if ds.dtype != np.dtype(dtype):
+                    raise ValueError(
+                        f"resume dtype mismatch for {path}:{var_name}: file "
+                        f"has {ds.dtype}, run writes {np.dtype(dtype)}"
+                    )
+            except Exception:
+                f.close()
+                raise
             self._w = f  # h5py.File: has .close(), all defs already exist
             self._dtype = np.dtype(dtype)
             self._ds = ds
@@ -211,19 +251,9 @@ class WindowedVarWriter:
             self._pending = None
             return
         self._w = NetCDFWriter(path)
-        self._w.def_dim("system", s_count, np.asarray(link_ids, np.int32), np.int32)
-        self._w.def_dim("time", n_q, np.asarray(query_times, np.float64), np.float64)
-        self._w.set_dim_attrs("system", {"long_name": "LinkID"})
-        self._w.set_dim_attrs(
-            "time", {"long_name": "Time", "units": "minutes since start of simulation"}
-        )
+        _def_output_dims(self._w, link_ids, query_times, state_ids)
         if state_ids is not None:
-            n_eq = len(state_ids)
-            self._w.def_dim("variable", n_eq, np.asarray(state_ids, np.int32), np.int32)
-            self._w.set_dim_attrs(
-                "variable", {"long_name": "state variable", "units": "various units"}
-            )
-            shape = (s_count, n_q, n_eq)
+            shape = (s_count, n_q, len(state_ids))
             dims = ("system", "time", "variable")
         else:
             shape = (s_count, n_q)
@@ -254,11 +284,16 @@ class WindowedVarWriter:
         f.flush()
 
     def close(self) -> None:
-        if self._pending is not None:
-            self._pending.result()
-            self._pending = None
-        self._ex.shutdown(wait=True)
-        self._w.close()
+        # Shutdown/close ALWAYS run: re-raising a failed pending write before
+        # them would leak the executor + HDF5 handle (and when close() runs
+        # during exception unwinding, mask the original error).
+        try:
+            if self._pending is not None:
+                self._pending.result()
+                self._pending = None
+        finally:
+            self._ex.shutdown(wait=True)
+            self._w.close()
 
     def __enter__(self):
         return self
