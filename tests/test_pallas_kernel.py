@@ -358,3 +358,40 @@ def test_kernel_bf16_forcing_close_to_f32():
     np.testing.assert_allclose(
         np.asarray(b.y_final), np.asarray(a.y_final), rtol=4e-2, atol=1e-4
     )
+
+
+def test_windowed_stiff_lanes_carry_not_reintegrated(monkeypatch):
+    """A lane stiff-flagged in window k must stay flagged in later windows
+    instead of re-integrating from NaN state (inflating attempt counts by
+    ~max_rejects per window)."""
+    import tiger_tpu.kernels.rk45_pallas as kp
+    from tests.test_solve_device_rung import StiffMix
+
+    s = 8
+    lam = np.full(s, -0.05, np.float32)
+    lam[2] = -1e7  # flags stiff almost immediately
+    y0 = jnp.ones((s, 5), jnp.float32)
+    params = {"lam": jnp.asarray(lam)}
+    qt = jnp.linspace(1.0, 100.0, 30, dtype=jnp.float32)
+    h0 = jnp.full((s,), 1e-3, jnp.float32)
+
+    ref = rk45_solve_pallas(
+        StiffMix(), y0, 0.0, 100.0, qt, params, h0=h0, config=CFG,
+        interpret=True,
+    )
+    monkeypatch.setattr(kp, "_VMEM_BUDGET", 438_000)
+    win = rk45_solve_pallas(
+        StiffMix(), y0, 0.0, 100.0, qt, params, h0=h0, config=CFG,
+        interpret=True,
+    )
+    assert np.asarray(ref.stiff)[2] and np.asarray(win.stiff)[2]
+    # The flagged lane's attempts must not scale with the window count.
+    att_ref = int(np.asarray(ref.stats.n_attempts)[2])
+    att_win = int(np.asarray(win.stats.n_attempts)[2])
+    assert att_win <= att_ref + 2
+    # Healthy lanes unaffected.
+    mask = lam > -1.0
+    np.testing.assert_allclose(
+        np.asarray(win.y_final)[mask], np.asarray(ref.y_final)[mask],
+        rtol=1e-4, atol=1e-7,
+    )

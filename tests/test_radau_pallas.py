@@ -110,7 +110,7 @@ def test_radau_query_auto_windowing_matches_unwindowed(monkeypatch):
         Decay2(), y0, 0.0, 5.0, qt, params, h0=h0, config=CFG, interpret=True
     )
 
-    monkeypatch.setattr(rp, "_VMEM_BUDGET", 600_000)
+    monkeypatch.setattr(rp, "_VMEM_BUDGET", 700_000)
     rows, qc = rp._plan_tiles(s, 30, 2, 1, 1)
     assert qc is not None  # windowing engaged
     win = radau_solve_pallas(

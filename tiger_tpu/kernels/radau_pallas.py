@@ -64,13 +64,16 @@ def _tile_row_candidates() -> tuple:
 
 
 def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int) -> int:
-    """Max queries per window so an ``rows``-row tile fits the VMEM budget."""
+    """Max queries per window so an ``rows``-row tile fits the VMEM budget.
+
+    May return <= 0 (infeasible) — callers must not clamp, or the planner's
+    actionable 'stream the time dimension' error becomes unreachable."""
     per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
     n_stack = 3 * n_eq
-    qc = (
-        per_lane_budget - t_forc - n_params - n_stack * n_stack - 8 * n_stack - 60
-    ) // (2 * n_eq)
-    return max(int(qc), 1)
+    return int(
+        (per_lane_budget - t_forc - n_params - n_stack * n_stack - 8 * n_stack - 60)
+        // (2 * n_eq)
+    )
 
 
 def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params):
@@ -451,6 +454,12 @@ def _pipeline(
     t0, tf, meta, config, param_fields, interpret,
     t_shift=0.0,
 ):
+    # See rk45_pallas._pallas_pipeline: the flip must live in the pipeline,
+    # which direct (non-wrapper) callers reach.
+    if not interpret and getattr(model, "approx_trig", None) is False:
+        import dataclasses as _dc
+
+        model = _dc.replace(model, approx_trig=True)
     s_count, n_eq = y0.shape
     q_total = 0 if query_times is None else query_times.shape[0]
     t_forc = 1 if forc_data is None else forc_data.shape[0]
@@ -544,8 +553,16 @@ def _pipeline(
             [query_times, jnp.full((pad_q,), tf + 1.0 + abs(tf - t0), jnp.float32)]
         )
         idxs = jnp.arange(n_w)
-        starts = jnp.where(idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)])
-        ends = jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1])
+        # Clamped to [t0, tf]: see rk45_pallas (queries beyond tf must not
+        # extend the integration span).
+        starts = jnp.clip(
+            jnp.where(idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)]),
+            t0, tf,
+        )
+        ends = jnp.clip(
+            jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1]),
+            t0, tf,
+        )
         shifts = jnp.full((n_w,), jnp.asarray(t_shift, jnp.float32))
         bounds_seq = jnp.stack([starts, ends, shifts], axis=1).astype(jnp.float32)
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)

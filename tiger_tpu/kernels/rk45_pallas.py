@@ -54,6 +54,14 @@ import os as _os
 _VMEM_BUDGET = int(_os.environ.get("TT_VMEM_BUDGET", 10 * 2**20))  # ~16 MB/core VMEM
 
 
+def _per_lane_bytes(qp: int, n_eq: int, t_forc: int, n_params: int,
+                    f_bytes: int = 4) -> int:
+    """VMEM bytes per lane: double-buffered dense block, forcing block,
+    params, and ~70 live f32 values (carries, 7 stages, temporaries).
+    ONE source of truth for the planner and its tests."""
+    return 4 * (2 * qp * n_eq + n_params + 70) + f_bytes * t_forc
+
+
 def _pick_tile_rows(
     q_total: int, n_eq: int, t_forc: int, n_params: int, f_bytes: int = 4
 ) -> Optional[int]:
@@ -68,8 +76,7 @@ def _pick_tile_rows(
     dense block — the pipeline then auto-windows the queries
     (_query_window_size) instead of handing Mosaic an over-budget kernel.
     """
-    qp = max(q_total, 1)
-    per_lane = 4 * (2 * qp * n_eq + n_params + 70) + f_bytes * t_forc
+    per_lane = _per_lane_bytes(max(q_total, 1), n_eq, t_forc, n_params, f_bytes)
     for rows in _tile_row_candidates():
         if per_lane * rows * LANES <= _VMEM_BUDGET:
             return rows
@@ -88,10 +95,16 @@ def _tile_row_candidates() -> tuple:
 def _query_window_size(
     n_eq: int, t_forc: int, n_params: int, rows: int = 8, f_bytes: int = 4
 ) -> int:
-    """Max queries per window so an ``rows``-row tile fits the VMEM budget."""
+    """Max queries per window so an ``rows``-row tile fits the VMEM budget.
+
+    May return <= 0: the forcing/params working set alone can exceed the
+    budget (callers must treat that as infeasible, not clamp it — a clamped
+    1 here once made _plan_tiles' 'stream the time dimension' error
+    unreachable and produced obscure Mosaic OOMs instead)."""
     per_lane_budget = _VMEM_BUDGET // (rows * LANES)
-    qc = (per_lane_budget - f_bytes * t_forc - 4 * (n_params + 70)) // (4 * 2 * n_eq)
-    return max(int(qc), 1)
+    return int(
+        (per_lane_budget - f_bytes * t_forc - 4 * (n_params + 70)) // (4 * 2 * n_eq)
+    )
 
 
 def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params, f_bytes: int = 4):
@@ -105,12 +118,14 @@ def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params, f_bytes: int = 4):
     349M -> 496M steps/s on the v5e bench).  Windowing costs one clamped
     step per boundary, which is noise for q_chunk >= 8.
     """
+    candidates = _tile_row_candidates()
     cap = 8
     while cap < 64 and cap * LANES < s_count:
         cap *= 2
-    qp = max(q_total, 1)
-    per_lane = 4 * (2 * qp * n_eq + n_params + 70) + f_bytes * t_forc
-    for rows in _tile_row_candidates():
+    if len(candidates) == 1:
+        cap = max(cap, candidates[0])  # TT_TILE_ROWS pins the size outright
+    per_lane = _per_lane_bytes(max(q_total, 1), n_eq, t_forc, n_params, f_bytes)
+    for rows in candidates:
         if rows > cap:
             continue
         if per_lane * rows * LANES <= _VMEM_BUDGET:
@@ -118,7 +133,7 @@ def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params, f_bytes: int = 4):
         qc = _query_window_size(n_eq, t_forc, n_params, rows, f_bytes)
         if q_total > 0 and qc >= 8:
             return rows, qc
-    rows = _tile_row_candidates()[-1]
+    rows = candidates[-1]
     if q_total > 0:
         qc = _query_window_size(n_eq, t_forc, n_params, rows, f_bytes)
         if qc >= 1:
@@ -252,10 +267,13 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             t=vz + t0_s,
             t_c=vz,
             h=h0_ref[1],  # row 1 = current step size (carried across windows)
+            # (stiff below: row 2 = stiff flags carried across windows — a
+            # lane flagged in window k must not re-integrate from NaN state
+            # in every later window, burning ~max_rejects attempts each.)
             y=y0,
             k0=tuple(k0_init),
             reject=vzi,
-            stiff=vzi,
+            stiff=h0_ref[2].astype(i32) + vzi,
             n_acc=vzi,
             n_rej=vzi,
             n_att=vzi,
@@ -279,7 +297,16 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
             f_vals = None
             if meta is not None:
-                f_vals = _gather_forcings(forc_ref, meta, t, dtype)
+                # Range-reduce over ACTIVE lanes only: a lane stiff-flagged
+                # early freezes its t forever, and an unmasked min would make
+                # the gather's index window span from that stale time to the
+                # live lanes' current one — O(n_t) row scans per step for the
+                # tile's whole remaining run.
+                t_act_min = jnp.min(jnp.where(act_i > 0, t, tf_s))
+                t_act_max = jnp.max(jnp.where(act_i > 0, t, t0_s))
+                f_vals = _gather_forcings(
+                    forc_ref, meta, t, dtype, t_act_min, t_act_max
+                )
 
             # FSAL: k1 comes from the carry (advanced lanes took last step's
             # k7; rejected lanes' (t, y) are unchanged so theirs is current).
@@ -317,9 +344,17 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             slope_i = act_i * accept_i * jump_i
             rejected_i = act_i * (1 - accept_i)
 
+            # Kahan-compensated committed time.  Computed BEFORE the dense
+            # fill and used as its upper bound: filling to t + h_eff while
+            # committing t_new = t + (h_eff - t_c) would leave a ~1-ulp gap
+            # (t + h_eff, t_new] of queries that are never filled — the next
+            # step's ``tq > t`` test already excludes them.
+            kh = h_eff - c.t_c
+            ks_sum = t + kh
+
             # ---- dense output: live query window [q_lo, q_hi) ----
             if q_total > 0:
-                t1 = t + h_eff
+                t1 = ks_sum
                 qm = [[jnp.zeros(shp, dtype) for _ in range(n_eq)] for _ in range(4)]
                 for m in range(4):
                     for j in range(7):
@@ -375,9 +410,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 b2i(h_new < span * cfg.min_step_fraction),
             )
 
-            # Kahan-compensated t += h_eff on advancing lanes.
-            kh = h_eff - c.t_c
-            ks_sum = t + kh
+            # Kahan commit of t += h_eff on advancing lanes (kh/ks_sum above).
             tc_new = jnp.where(advance_i > 0, (ks_sum - t) - kh, c.t_c)
             t_new = jnp.where(advance_i > 0, ks_sum, t)
             stiff_acc = jnp.maximum(c.stiff, stiff_new)
@@ -474,6 +507,11 @@ def rk45_solve_pallas(
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data
     qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
+    if qt is not None and (np.diff(np.asarray(qt)) < 0).any():
+        # The monotone query cursor (q_lo/q_hi prefix counts, t0 prefill)
+        # assumes sorted times in EVERY mode — unsorted input would produce
+        # silently wrong dense rows rather than an error.
+        raise ValueError("query_times must be sorted ascending")
     if qt is not None and _plan_tiles(
         y0.shape[0], qt.shape[0], n_eq,
         1 if forc_data is None else forc_data.shape[0],
@@ -507,6 +545,13 @@ def _pallas_pipeline(
     t0, tf, meta, config, param_fields, interpret,
     t_shift=0.0,
 ):
+    # Mosaic-safe math flip lives HERE (not only in the public wrapper):
+    # dist.py calls this pipeline directly for sharded pallas runs, and a
+    # Model 200 with exact trig would fail Mosaic lowering there.
+    if not interpret and getattr(model, "approx_trig", None) is False:
+        import dataclasses as _dc
+
+        model = _dc.replace(model, approx_trig=True)
     s_count, n_eq = y0.shape
     q_total = 0 if query_times is None else query_times.shape[0]
     t_forc = 1 if forc_data is None else forc_data.shape[0]
@@ -556,7 +601,7 @@ def _pallas_pipeline(
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
@@ -594,7 +639,7 @@ def _pallas_pipeline(
             [jnp.full((), t0, jnp.float32), jnp.full((), tf, jnp.float32),
              jnp.asarray(t_shift, jnp.float32)]
         )[None, :]
-        h_pair = jnp.concatenate([h0_m, h0_m], axis=0)
+        h_pair = jnp.concatenate([h0_m, h0_m, jnp.zeros_like(h0_m)], axis=0)
         yf, dense, stiff, stats, _ = call(
             bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m
         )
@@ -616,10 +661,17 @@ def _pallas_pipeline(
             [query_times, jnp.full((pad_q,), tf + 1.0 + abs(tf - t0), jnp.float32)]
         )
         idxs = jnp.arange(n_w)
-        starts = jnp.where(
-            idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)]
+        # Clamp to [t0, tf]: queries beyond tf must not extend a window's
+        # integration span (the unwindowed kernel and the vmap path never
+        # integrate past tf; such queries stay zero there too).
+        starts = jnp.clip(
+            jnp.where(idxs == 0, t0, qt_flat[jnp.maximum(idxs * q_chunk - 1, 0)]),
+            t0, tf,
         )
-        ends = jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1])
+        ends = jnp.clip(
+            jnp.where(idxs == n_w - 1, tf, qt_flat[(idxs + 1) * q_chunk - 1]),
+            t0, tf,
+        )
         shifts = jnp.full((n_w,), jnp.asarray(t_shift, jnp.float32))
         bounds_seq = jnp.stack([starts, ends, shifts], axis=1).astype(
             jnp.float32
@@ -631,7 +683,10 @@ def _pallas_pipeline(
             qt_c, bnds = xs
             yf_w, dense_w, stiff_w, stats_w, h_out = call(
                 bnds[None], qt_c, qt_c, y_in,
-                jnp.concatenate([h0_m, h_in], axis=0), p_m, f_m,
+                jnp.concatenate(
+                    [h0_m, h_in, stiff_acc.astype(jnp.float32)], axis=0
+                ),
+                p_m, f_m,
             )
             carry = (
                 yf_w,

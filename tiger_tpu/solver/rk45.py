@@ -146,7 +146,8 @@ def fill_dense_queries(cfg, qt, dense, next_q, next_qt, t, h, dense_eval, active
     q_total = qt.shape[0]
     w = cfg.dense_chunk
     if q_total // 16 > w:
-        w = min(512, 1 << (q_total // 16).bit_length())
+        # Auto-widen only: never shrink an explicitly larger dense_chunk.
+        w = max(w, min(512, 1 << (q_total // 16).bit_length()))
     t1 = t + h
     i32 = next_q.dtype
 
