@@ -201,7 +201,13 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
             f_vals = None
             if meta is not None:
-                f_vals = _gather_forcings(forc_ref, meta, t, dtype)
+                # Active-lane range reduction (see rk45_pallas): a failed
+                # lane's frozen t must not widen the gather's scan window.
+                t_act_min = jnp.min(jnp.where(act_i > 0, t, tf_s))
+                t_act_max = jnp.max(jnp.where(act_i > 0, t, t0_s))
+                f_vals = _gather_forcings(
+                    forc_ref, meta, t, dtype, t_act_min, t_act_max
+                )
 
             f0 = rhs(t, y, f_vals)
 
@@ -309,9 +315,15 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             accept_i = act_i * b2i(err <= 1.0)
             rejected_i = act_i * (1 - b2i(err <= 1.0))
 
+            # Kahan sum computed BEFORE the dense fill and used as its upper
+            # bound (see rk45_pallas: filling to t + h_eff while committing
+            # t + (h_eff - t_c) leaves a ~1-ulp never-filled query gap).
+            kh = h_eff - c.t_c
+            ks_sum = t + kh
+
             # ---- dense output (collocation interpolant on Z) ----
             if q_total > 0:
-                t1 = t + h_eff
+                t1 = ks_sum
                 big = jnp.asarray(2.0 * abs(tf) + 1e30, dtype)
                 min_t = jnp.min(jnp.where(act_i > 0, t, big))
                 max_t1 = jnp.max(
@@ -354,8 +366,6 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 c.failed, rejected_i * b2i(reject_new > cfg.radau_max_rejects)
             )
 
-            kh = h_eff - c.t_c
-            ks_sum = t + kh
             tc_new = jnp.where(accept_i > 0, (ks_sum - t) - kh, c.t_c)
             t_new = jnp.where(accept_i > 0, ks_sum, t)
             n_att_new = c.n_att + act_i
