@@ -166,13 +166,19 @@ def solve(
             or (len(qt_check) > 1 and (np.diff(qt_check) < 0).any())
         ):
             raise ValueError("query_times must be a 1-D ascending NaN-free array")
+        if len(qt_check) and qt_check[-1] > float(tf) + 1e-9:
+            # Out-of-span queries would get inconsistent rows: zeros on the
+            # interpolated paths, y(tf) from the segmented stiff retry.
+            raise ValueError(
+                f"query_times extend past tf ({qt_check[-1]} > {tf})"
+            )
     if not (float(tf) > float(t0)):
         raise ValueError(f"tf ({tf}) must be greater than t0 ({t0})")
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"backend must be auto|pallas|xla, got {backend!r}")
 
     t_ph = _time.perf_counter()
-    h0 = initial_step(model, y0, t0, params, forcings, config)
+    h0 = initial_step(model, y0, t0, params, forcings, config, t_shift=t_shift)
     _phase_mark("initial_step", t_ph, h0)
     # Platform from y0's COMMITTED device when it has one (a CPU-committed
     # batch on a TPU-attached host must take the XLA path, not the Mosaic

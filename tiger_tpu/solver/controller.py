@@ -27,8 +27,10 @@ from tiger_tpu.solver.config import SolverConfig
 _H_FLOOR = 1e-6
 
 
-def _estimate(model, t0, y0_row, p_row, f_vals, rtol, atol):
-    f0 = model.rhs(jnp.asarray(t0, y0_row.dtype), y0_row, p_row, f_vals)
+def _estimate(model, t0, y0_row, p_row, f_vals, rtol, atol, t_shift=0.0):
+    # t_shift: absolute-time offset for the model rhs (see rk45) — the
+    # estimate must sample the same physics regime the solver integrates.
+    f0 = model.rhs(jnp.asarray(t0, y0_row.dtype) + t_shift, y0_row, p_row, f_vals)
     scale = atol + rtol * jnp.abs(y0_row)
     d0 = jnp.sqrt(jnp.sum((y0_row / scale) ** 2))
     d1 = jnp.sqrt(jnp.sum((f0 / scale) ** 2))
@@ -36,7 +38,7 @@ def _estimate(model, t0, y0_row, p_row, f_vals, rtol, atol):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "t0", "meta", "config"))
-def _initial_step_impl(model, y0, t0, params, forc_data, meta, config):
+def _initial_step_impl(model, y0, t0, params, forc_data, meta, config, t_shift=0.0):
     s_count = y0.shape[0]
     dtype = y0.dtype
 
@@ -52,7 +54,7 @@ def _initial_step_impl(model, y0, t0, params, forc_data, meta, config):
             f_vals = gather_forcings_column(
                 forc_data[:, 0], meta, jnp.asarray(t0, dtype)
             )
-        h = _estimate(model, t0, zero, p_row, f_vals, config.rtol, config.atol)
+        h = _estimate(model, t0, zero, p_row, f_vals, config.rtol, config.atol, t_shift)
         return jnp.full((s_count,), h, dtype)
 
     # per-system
@@ -60,7 +62,7 @@ def _initial_step_impl(model, y0, t0, params, forc_data, meta, config):
         f_vals = None
         if forc_col is not None:
             f_vals = gather_forcings_column(forc_col, meta, jnp.asarray(t0, dtype))
-        return _estimate(model, t0, y0_row, p_row, f_vals, config.rtol, config.atol)
+        return _estimate(model, t0, y0_row, p_row, f_vals, config.rtol, config.atol, t_shift)
 
     in_axes = (0, None if params is None else 0, None if forc_data is None else 1)
     return jax.vmap(one, in_axes=in_axes)(y0, params, forc_data)
@@ -73,6 +75,7 @@ def initial_step(
     params=None,
     forcings: ForcingSet | None = None,
     config: SolverConfig = SolverConfig(),
+    t_shift=0.0,
 ) -> jax.Array:
     """Per-system initial steps [S] according to ``config``.
 
@@ -85,4 +88,7 @@ def initial_step(
         return jnp.full((y0.shape[0],), config.initial_step, y0.dtype)
     forc_data = None if forcings is None else forcings.data
     meta = None if forcings is None else forcings.meta
-    return _initial_step_impl(model, y0, float(t0), params, forc_data, meta, config)
+    return _initial_step_impl(
+        model, y0, float(t0), params, forc_data, meta, config,
+        jnp.asarray(t_shift, y0.dtype),
+    )

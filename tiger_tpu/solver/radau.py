@@ -61,9 +61,13 @@ def _fd_jacobian_and_f(rhs_t, ts, y_s):
 
     Matches approx_jacobian (radau_step_dense.cuh:14-31).
     """
-    n = y_s.shape[0]
     f_s = rhs_t(ts, y_s)
-    eps = jnp.sqrt(jnp.asarray(1e-16, y_s.dtype))
+    # dtype-aware step: the reference's sqrt(1e-16)=1e-8
+    # (radau_step_dense.cuh:20) is below float32 resolution — the
+    # perturbation would round away and the Jacobian degenerate to zero
+    # (Newton then becomes a diverging fixed-point iteration for stiff
+    # systems).  The fused kernel applies the same correction.
+    eps = jnp.sqrt(jnp.asarray(max(float(jnp.finfo(y_s.dtype).eps), 1e-16), y_s.dtype))
     h_eps = eps * jnp.maximum(1.0, jnp.abs(y_s))  # [N]
     y_pert = y_s[None, :] + jnp.diag(h_eps)  # row j perturbs component j
     f_pert = jax.vmap(lambda yy: rhs_t(ts, yy))(y_pert)  # [N(j), N(i)]
@@ -227,21 +231,12 @@ import functools
 @functools.partial(jax.jit, static_argnames=("model", "t0", "tf", "meta", "config"))
 def _radau_solve_impl(model, y0, t0, tf, qt, params, forc_data, meta, h0, config,
                       t_shift=0.0):
-    if params is not None and hasattr(model, "derived_params"):
-        params = model.derived_params(params)  # hoisted loop invariants
+    from tiger_tpu.solver.rk45 import vmap_system_solve
 
-    def single(y0_row, h0_row, p_row, forc_col):
-        def rhs(t, y, f_vals):
-            # t_shift: absolute-time offset for the model rhs (see rk45).
-            return model.rhs(t + t_shift, y, p_row, f_vals)
-
-        gather = None
-        if forc_col is not None:
-            gather = lambda t: gather_forcings_column(forc_col, meta, t)
-        return _radau_system(rhs, gather, t0, tf, qt, y0_row, h0_row, config)
-
-    in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
-    return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+    return vmap_system_solve(
+        model, _radau_system, y0, h0, params, forc_data, meta,
+        t0, tf, qt, config, t_shift,
+    )
 
 
 def radau_solve(

@@ -288,9 +288,12 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 import functools
 
 
-def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config,
-                      t_shift=0.0):
-    """Traceable (un-jitted) batched solve — composes under shard_map/pjit.
+def vmap_system_solve(model, sys_fn, y0, h0, params, forc_data, meta,
+                      t0, tf, qt, config, t_shift=0.0):
+    """Shared batched-solve wrapper: the rhs/gather closures, the
+    loop-invariant parameter hoist, and the vmap axes used identically by
+    the RK45, Radau and segmented solvers (one source of truth — these were
+    three hand-kept copies that had already diverged on the hoist).
 
     ``t_shift`` (traced scalar) offsets the time the MODEL rhs sees —
     chunked runs integrate window-relative time, but time-dependent physics
@@ -310,10 +313,19 @@ def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config
         gather = None
         if forc_col is not None:
             gather = lambda t: gather_forcings_column(forc_col, meta, t)
-        return _rk45_system(rhs, gather, t0, tf, qt, y0_row, h0_row, config)
+        return sys_fn(rhs, gather, t0, tf, qt, y0_row, h0_row, config)
 
     in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
     return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+
+
+def rk45_solve_traced(model, y0, t0, tf, qt, params, forc_data, meta, h0, config,
+                      t_shift=0.0):
+    """Traceable (un-jitted) batched solve — composes under shard_map/pjit."""
+    return vmap_system_solve(
+        model, _rk45_system, y0, h0, params, forc_data, meta,
+        t0, tf, qt, config, t_shift,
+    )
 
 
 _rk45_solve_impl = functools.partial(

@@ -26,7 +26,7 @@ import numpy as np
 from tiger_tpu.forcing import ForcingSet, gather_forcings_column
 from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.radau import _radau_system
-from tiger_tpu.solver.rk45 import _rk45_system
+from tiger_tpu.solver.rk45 import _rk45_system, vmap_system_solve
 
 
 class SegmentedResult(NamedTuple):
@@ -44,19 +44,11 @@ def _segment(model, method, y0, h0, t0v, t1v, params, forc_data, meta, config,
              t_shift=0.0):
     """One segment [t0v, t1v] (traced bounds), no dense output."""
 
-    def single(y0_row, h0_row, p_row, forc_col):
-        def rhs(t, y, f_vals):
-            # t_shift: absolute-time offset for the model rhs (see rk45).
-            return model.rhs(t + t_shift, y, p_row, f_vals)
-
-        gather = None
-        if forc_col is not None:
-            gather = lambda t: gather_forcings_column(forc_col, meta, t)
-        sys_fn = _rk45_system if method == "rk45" else _radau_system
-        return sys_fn(rhs, gather, t0v, t1v, None, y0_row, h0_row, config)
-
-    in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
-    return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)
+    sys_fn = _rk45_system if method == "rk45" else _radau_system
+    return vmap_system_solve(
+        model, sys_fn, y0, h0, params, forc_data, meta,
+        t0v, t1v, None, config, t_shift,
+    )
 
 
 def segmented_solve(
@@ -75,13 +67,17 @@ def segmented_solve(
     y0 = jnp.asarray(y0)
     s_count, n_eq = y0.shape
     dtype = y0.dtype
+    if h0 is None:
+        from tiger_tpu.solver.controller import initial_step
+
+        h0 = initial_step(model, y0, t0, params, forcings, config)
     h0 = jnp.broadcast_to(jnp.asarray(h0, dtype), (s_count,))
     forc_data = None if forcings is None else forcings.data
     meta = None if forcings is None else forcings.meta
 
     qt = np.asarray(query_times, np.float64) if query_times is not None else np.zeros(0)
     q_total = len(qt)
-    dense = np.zeros((s_count, q_total, n_eq), np.asarray(y0[:1]).dtype)
+    dense = np.zeros((s_count, q_total, n_eq), dtype)
 
     # Keep every array this host loop touches COMMITTED to y0's device: in a
     # TPU process this path runs on the CPU backend, and any uncommitted
@@ -128,6 +124,10 @@ def segmented_solve(
     if t_prev < float(tf):
         y = advance(y, t_prev, float(tf))
 
+    # NaN-on-failure contract (matches RK45Result/RadauResult): failed lanes
+    # must not report the plausible-looking state frozen at their last
+    # successful query.
+    y = jnp.where(failed_any[:, None], jnp.full_like(y, jnp.nan), y)
     return SegmentedResult(
         y_final=y,
         dense=put(dense),
