@@ -83,7 +83,9 @@ def _sharded_rk45(
             if params_s is not None:
                 param_fields = tuple(sorted(params_s.keys()))
                 p_dict = params_s
-            interpret = jax.devices()[0].platform != "tpu"  # CPU mesh tests
+            # The MESH devices decide (a CPU mesh on a TPU-attached host must
+            # interpret, not hand Mosaic a CPU lowering).
+            interpret = mesh.devices.flat[0].platform != "tpu"
             return _pallas_pipeline(
                 model, y0_s, h0_s, p_dict, forc_s, qt,
                 t0, tf, meta, config, param_fields, interpret,
@@ -144,7 +146,7 @@ def rk45_solve_sharded(
     n_pad = s_padded - s_count
 
     if h0 is None:
-        h0 = initial_step(model, y0, t0, params, forcings, config)
+        h0 = initial_step(model, y0, t0, params, forcings, config, t_shift=t_shift)
     h0 = jnp.broadcast_to(jnp.asarray(h0, y0.dtype), (s_count,))
 
     y0p = _pad_batch(y0, n_pad)

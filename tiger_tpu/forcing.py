@@ -100,9 +100,17 @@ class ForcingSet:
             n_steps.append(g.shape[0])
             row += g.shape[0]
         if isinstance(flat_index, (list, tuple)):
-            flats = tuple(jnp.asarray(f, jnp.int32) for f in flat_index)
+            raw_flats = tuple(flat_index)
         else:
-            flats = (jnp.asarray(flat_index, jnp.int32),) * len(grids)
+            raw_flats = (flat_index,) * len(grids)
+        # Host-side bounds check when the index is host data (device-cached
+        # indices are validated once by the loaders): the device gather
+        # CLIPS out-of-range rows, which would silently feed the wrong
+        # cell's forcing where the numpy path raised.
+        for f, g in zip(raw_flats, grids):
+            if isinstance(f, np.ndarray):
+                _check_flat_bounds(f, g.shape[-1] if g.ndim == 2 else g.size // g.shape[0], None)
+        flats = tuple(jnp.asarray(f, jnp.int32) for f in raw_flats)
         data = _remap_concat_jit(
             tuple(jnp.asarray(g, jnp.float32) for g in grids), flats
         )
@@ -124,12 +132,12 @@ def _check_flat_bounds(flat: np.ndarray, n_cells: int, spec) -> None:
 
 def _check_remap_finite(chunk: np.ndarray, flat: np.ndarray, spec) -> None:
     """Reject lookups that map systems onto missing cells (NaN after fill
-    handling — e.g. ERA5-Land ocean cells).  Checks the chunk's first and
-    last time slices on the host (two [S] gathers): a persistent missing
-    cell is caught before NaN forcing poisons every trajectory on it."""
+    handling — e.g. ERA5-Land ocean cells, or a missing hour mid-record).
+    One O(T*cells) NaN scan of the already-in-memory chunk per window: NaN
+    forcing would otherwise silently poison every trajectory on the cell."""
     flat = np.asarray(flat)
     grid2d = chunk.reshape(chunk.shape[0], -1)
-    bad = np.isnan(grid2d[0, flat]) | np.isnan(grid2d[-1, flat])
+    bad = np.isnan(grid2d).any(axis=0)[flat]
     if bad.any():
         raise ValueError(
             f"{int(bad.sum())} system(s) map to missing ({np.nan}) cells of "
@@ -206,17 +214,21 @@ def discover_forcings(folder: str, var_names: Sequence[str]) -> list:
         _glob.glob(os.path.join(folder, "*.nc"))
         + _glob.glob(os.path.join(folder, "*.nc4"))
     )
-    specs = []
-    for var in var_names:
-        hits = []
-        for path in candidates:
+    # ONE open per (file, var) pair total: probing every candidate per
+    # variable re-opened and re-decoded each file V times.
+    found: dict = {v: [] for v in var_names}
+    for path in candidates:
+        for var in var_names:
             try:
                 rd = NetCDFReader(path, var)
             except (KeyError, ValueError, OSError):
                 continue
             with rd:
                 tvals, units = rd.time_info()
-            hits.append((path, tvals, units))
+            found[var].append((path, tvals, units))
+    specs = []
+    for var in var_names:
+        hits = found[var]
         if not hits:
             raise FileNotFoundError(
                 f"forcings.type folder_nc: no NetCDF file in {folder!r} has a "
@@ -276,7 +288,10 @@ def load_forcings(
             if duration_days is None:
                 n_steps = rd.time_size - start_step
             else:
-                n_steps = int(round(duration_days * 24.0 / spec.dt_hours))
+                # ceil: a span that is not a whole multiple of dt still needs
+                # the partially-covered step (round() dropped the last half
+                # day of daily forcing for a 2.5-day run).
+                n_steps = int(np.ceil(duration_days * 24.0 / spec.dt_hours - 1e-9))
                 n_steps = min(n_steps, rd.time_size - start_step)
             flat = lut.flat_index(np.asarray(stream_ids), rd.lon_size)
             chunk = rd.load_time_chunk(start_step, n_steps)

@@ -158,5 +158,33 @@ class Model204:
         return jnp.stack(self.rhs_tuple(t, y, params, forcings))
 
 
+def link_outflow(y, params):
+    """Instantaneous local outflow per link [m * km^2 / min] from the stores.
+
+    THE hydraulics of rhs_tuple's surface/interflow/baseflow terms
+    (model_204.hpp:99-113), factored here so routed discharge
+    (tiger_tpu.routing.link_runoff_204) uses the SAME formulas the solver
+    integrates and cannot silently drift from them.  ``y`` is [S, N].
+
+    Stores are clamped at 0: the dense interpolant can overshoot slightly
+    negative near empty stores, and pow(negative, 2/3) would NaN-poison
+    every downstream discharge value (outflow from an empty store is zero).
+    """
+    h_surf = jnp.maximum(y[:, 2], 0.0)
+    h_grav = jnp.maximum(y[:, 3], 0.0)
+    h_aq = jnp.maximum(y[:, 4], 0.0)
+    P = params
+    pow23 = _pow23(h_surf)
+    if "_manning_c" in P:
+        w = jnp.minimum(1.0, pow23 * P["_manning_c"])
+    else:
+        alfa2 = (1.0 / P["n_mann"]) * pow23 * jnp.sqrt(P["slope"])
+        w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
+    qs = h_surf * w
+    qi = jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
+    qb = jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
+    return (qs + qi + qb) * P["A_h"]
+
+
 #: Common cold-start initial state used by the reference driver (main.cpp:377).
 Y0_COMMON = (0.01, 3.0, 0.0, 5.0, 0.2)

@@ -59,6 +59,11 @@ def build_topology(stream_ids: np.ndarray, next_stream_ids: np.ndarray) -> Topol
     # cnt[i] = hops accumulated along ptr; after round k, ptr is the 2^k-th
     # successor (or -1 once the path end is absorbed).  The ptr snapshots ARE
     # the device doubling tables — collected for free.
+    if len(next_idx) == 0:
+        return Topology(
+            next_idx=next_idx, depth=0,
+            ptr_tables=np.zeros((0, 0), np.int32),
+        )
     ptr = next_idx.astype(np.int64)
     cnt = (ptr >= 0).astype(np.int64)
     tables = []
@@ -82,27 +87,12 @@ def build_topology(stream_ids: np.ndarray, next_stream_ids: np.ndarray) -> Topol
 
 
 def link_runoff_204(y: jax.Array, params) -> jax.Array:
-    """Instantaneous local outflow per link [m * km^2 / min] from Model-204 stores.
+    """Instantaneous local outflow per link [m * km^2 / min] from Model-204
+    stores — delegates to models.model204.link_outflow (the SAME hydraulics
+    the solver integrates, model_204.hpp:99-113)."""
+    from tiger_tpu.models.model204 import link_outflow
 
-    surface Manning outflow h_surf*w (model_204.hpp:99-103) + interflow
-    h_grav/alpha3 + baseflow h_aq/alpha4, scaled by hillslope area A_h.
-    ``y`` is [S, N]; params the SoA dict.
-    """
-    # Clamp stores at 0: the dense interpolant can overshoot slightly
-    # negative near empty stores, and pow(negative, 2/3) is NaN — which
-    # would silently propagate into every downstream discharge value.
-    # Physically exact: outflow from an empty store is zero.
-    h_surf = jnp.maximum(y[:, 2], 0.0)
-    h_grav = jnp.maximum(y[:, 3], 0.0)
-    h_aq = jnp.maximum(y[:, 4], 0.0)
-    alfa2 = (1.0 / params["n_mann"]) * jnp.power(h_surf, 2.0 / 3.0) * jnp.sqrt(
-        params["slope"]
-    )
-    w = jnp.minimum(1.0, alfa2 * params["L"] / params["A_h"] * 60.0)
-    qs = h_surf * w
-    qi = jnp.where(params["alpha3"] >= 1.0, h_grav / params["alpha3"], 0.0)
-    qb = jnp.where(params["alpha4"] >= 1.0, h_aq / params["alpha4"], 0.0)
-    return (qs + qi + qb) * params["A_h"]
+    return link_outflow(y, params)
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
@@ -251,6 +241,27 @@ def plan_sharded_topology(topo: Topology, n_shards: int) -> ShardedTopology:
     )
 
 
+#: One-slot device cache for ShardedTopology plan tables (same rationale and
+#: identity semantics as _tables_cache: per-window calls reuse ONE plan).
+_plan_cache: tuple = (None, None)
+
+
+def _device_plan(plan: ShardedTopology):
+    global _plan_cache
+    if _plan_cache[0] is not plan.local_tgt:
+        _plan_cache = (
+            plan.local_tgt,
+            tuple(
+                jnp.asarray(a)
+                for a in (
+                    plan.local_tgt, plan.outbox_src,
+                    plan.outbox_shard, plan.outbox_row,
+                )
+            ),
+        )
+    return _plan_cache[1]
+
+
 def accumulate_downstream_sharded(
     q: jax.Array, plan: ShardedTopology, mesh: Mesh
 ) -> jax.Array:
@@ -267,10 +278,7 @@ def accumulate_downstream_sharded(
     n = plan.n_shards
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    lt = jnp.asarray(plan.local_tgt)
-    ob_src = jnp.asarray(plan.outbox_src)
-    ob_shard = jnp.asarray(plan.outbox_shard)
-    ob_row = jnp.asarray(plan.outbox_row)
+    lt, ob_src, ob_shard, ob_row = _device_plan(plan)
 
     def shard_body(q_blk, lt_blk, src_blk, shard_blk, row_blk):
         q_blk = q_blk[0]
