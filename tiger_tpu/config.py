@@ -212,6 +212,10 @@ def load_config(path: str) -> SimulationConfig:
                 "params_start": int(cols.get("params_start", 2)),
                 "num_params": int(cols.get("num_params", 15)),
             }
+            if "has_header" in cols:
+                # Explicit header declaration beats the loader's sniff
+                # (ambiguous for numeric-looking headers / empty first cells).
+                cfg.params_columns["has_header"] = bool(cols["has_header"])
     if gp := doc.get("global_params"):
         for entry in gp:
             cfg.global_params[str(entry["name"])] = float(entry.get("value", 0.0))

@@ -57,6 +57,10 @@ def hamon_pet(
 
     # Arctic handling: acos argument out of [-1,1] => polar day or night.
     # (The reference checks isnan(D) post-hoc; branchless equivalent.)
+    # Known divergence from the reference's sign rule within ~0.8 deg of the
+    # poles (where the 0.8333-deg refraction term can dominate at phi ~ 0):
+    # no hydrologic basin lives there, and the reference's own rule
+    # misclassifies the same refracted-twilight corner differently.
     polar_day = (phi > 0.0) & (latitude > 0.0) | (phi < 0.0) & (latitude < 0.0)
     d = jnp.where(jnp.abs(arg) > 1.0, jnp.where(polar_day, 2.0, 0.0), d)
 

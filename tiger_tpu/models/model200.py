@@ -97,11 +97,19 @@ class Model200:
         # 3) Surface store (Manning)
         x3 = jnp.minimum(x2, P["infil"])
         d2 = x2 - x3
-        h_pow = jnp.maximum(h_surf, 0.0) if self.safe_pow else h_surf
-        if "_manning_c" in P:
-            w = jnp.minimum(1.0, jnp.power(h_pow, 2.0 / 3.0) * P["_manning_c"])
+        # Same Manning x^(2/3) as Model 204 (model204._pow23: exp2/log2 on
+        # the clamped base, measured ~6% whole-kernel; keeps routed
+        # discharge's link_outflow numerically identical to the solver).
+        from tiger_tpu.models.model204 import _pow23
+
+        if self.safe_pow:
+            pow23 = _pow23(jnp.maximum(h_surf, 0.0))
         else:
-            alfa2 = (1.0 / P["n_mann"]) * jnp.power(h_pow, 2.0 / 3.0) * jnp.sqrt(P["slope"])
+            pow23 = jnp.power(h_surf, 2.0 / 3.0)
+        if "_manning_c" in P:
+            w = jnp.minimum(1.0, pow23 * P["_manning_c"])
+        else:
+            alfa2 = (1.0 / P["n_mann"]) * pow23 * jnp.sqrt(P["slope"])
             w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
         dy2 = d2 - h_surf * w
 

@@ -181,8 +181,12 @@ def link_outflow(y, params):
         alfa2 = (1.0 / P["n_mann"]) * pow23 * jnp.sqrt(P["slope"])
         w = jnp.minimum(1.0, alfa2 * P["L"] / P["A_h"] * 60.0)
     qs = h_surf * w
-    qi = jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
-    qb = jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
+    if "_inv_a3" in P:
+        qi = h_grav * P["_inv_a3"]
+        qb = h_aq * P["_inv_a4"]
+    else:
+        qi = jnp.where(P["alpha3"] >= 1.0, h_grav / P["alpha3"], 0.0)
+        qb = jnp.where(P["alpha4"] >= 1.0, h_aq / P["alpha4"], 0.0)
     return (qs + qi + qb) * P["A_h"]
 
 

@@ -127,14 +127,20 @@ def load_spatial_params(csv_path: str, columns: dict | None = None) -> SpatialPa
 
 
 def _load_positional(csv_path: str, columns: dict) -> SpatialParams:
-    with open(csv_path) as f:
-        first = f.readline()
-    # Headerless files start with a numeric row; skip a header if present.
-    try:
-        float(first.split(",")[0])
-        skip = 0
-    except ValueError:
-        skip = 1
+    # ``has_header`` in local_params.columns makes the header question
+    # explicit; without it, sniff (a numeric-looking first cell means no
+    # header — ambiguous for headerless rows starting with an empty field
+    # or headers of numeric labels, hence the explicit override).
+    if "has_header" in columns:
+        skip = 1 if columns["has_header"] else 0
+    else:
+        with open(csv_path, encoding="utf-8-sig") as f:
+            first = f.readline()
+        try:
+            float(first.split(",")[0])
+            skip = 0
+        except ValueError:
+            skip = 1
     data = np.loadtxt(csv_path, delimiter=",", skiprows=skip, ndmin=2)
     start = int(columns.get("params_start", 2))
     n_par = int(columns.get("num_params", len(POSITIONAL_ORDER)))
@@ -161,8 +167,10 @@ def _load_positional(csv_path: str, columns: dict) -> SpatialParams:
 
 
 def _load_csv_numpy(csv_path: str) -> Dict[str, np.ndarray]:
-    with open(csv_path) as f:
-        header = f.readline().strip().split(",")
+    # utf-8-sig + per-name strip: a BOM or ", "-separated header would
+    # otherwise report present columns as missing.
+    with open(csv_path, encoding="utf-8-sig") as f:
+        header = [h.strip() for h in f.readline().strip().split(",")]
     data = np.loadtxt(csv_path, delimiter=",", skiprows=1, ndmin=2)
     if data.shape[1] < len(header):
         raise ValueError(f"Bad row width in {csv_path}")
