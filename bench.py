@@ -25,21 +25,28 @@ import time
 import numpy as np
 
 
-def read_baseline(path: str, solver: str):
+def read_baseline(path: str, solver: str, expect: dict | None = None):
     """Recorded steps/s for ``solver`` ('rk45' | 'radau'), or None.
 
     The file holds one entry per solver so regressions in the implicit kernel
     are tracked like the explicit one; a legacy flat record (round 1) is read
-    as the rk45 entry.
+    as the rk45 entry.  ``expect`` (systems/backend) guards against comparing
+    a differently-configured run to the record — mismatches return None
+    rather than printing a meaningless vs_baseline.
     """
     if not os.path.exists(path):
         return None
     with open(path) as f:
         doc = json.load(f)
     if "value" in doc:  # legacy flat format
-        return doc["value"] if solver == "rk45" else None
+        doc = {"rk45": doc}
     entry = doc.get(solver)
-    return entry.get("value") if entry else None
+    if not entry:
+        return None
+    for k, v in (expect or {}).items():
+        if k in entry and entry[k] != v:
+            return None
+    return entry.get("value")
 
 
 def write_baseline(path: str, solver: str, record: dict) -> None:
@@ -101,8 +108,11 @@ def main() -> None:
     from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
     from tiger_tpu.kernels.rk45_pallas import rk45_solve_pallas
 
+    import functools
+
     if args.solver == "radau":
-        solver_fn = radau_solve_pallas
+        # --cpu runs the kernel in the Pallas interpreter (slow; smoke only).
+        solver_fn = functools.partial(radau_solve_pallas, interpret=args.cpu)
     else:
         solver_fn = rk45_solve_pallas if args.backend == "pallas" and not args.cpu else rk45_solve
 
@@ -114,7 +124,7 @@ def main() -> None:
         rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal,
         forcing_dtype="bf16" if args.forcing_bf16 else "f32",
     )
-    y0, params, forcings = _scenario(s_count, dtype)
+    y0, params, forcings = _scenario(s_count, dtype, days=args.days)
     qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=dtype)
     h0 = jnp.full((s_count,), 1e-3, dtype)
 
@@ -150,8 +160,11 @@ def main() -> None:
 
     n_attempts = int(np.asarray(res.stats.n_attempts).sum())
     value = n_attempts / wall
-    n_stiff = int(np.asarray(getattr(res, "stiff", getattr(res, "failed"))).sum())
     extra = {}
+    if hasattr(res, "stiff"):
+        extra["n_stiff"] = int(np.asarray(res.stiff).sum())
+    # RadauResult has no stiff flag — report failures under their own name.
+    extra["n_failed"] = int(np.asarray(res.failed).sum())
     if getattr(res.stats, "n_newton", None) is not None:
         n_sweeps = int(np.asarray(res.stats.n_newton).sum())
         n_acc = int(np.asarray(res.stats.n_accepted).sum())
@@ -159,7 +172,10 @@ def main() -> None:
         extra["accept_ratio"] = round(n_acc / max(n_attempts, 1), 4)
 
     baseline_path = os.path.join(os.path.dirname(__file__) or ".", "bench_baseline.json")
-    baseline = read_baseline(baseline_path, args.solver)
+    baseline = read_baseline(
+        baseline_path, args.solver,
+        expect={"systems": s_count, "backend": jax.devices()[0].platform},
+    )
     vs = (value / baseline) if baseline else 1.0
 
     if args.record:
@@ -185,9 +201,9 @@ def main() -> None:
                 "systems": s_count,
                 "steps_total": n_attempts,
                 "wall_s": wall,
-                "n_stiff": n_stiff,
                 "backend": jax.devices()[0].platform,
-                "fsal": args.fsal,
+                # fsal is implemented only in the fused RK45 kernel.
+                "fsal": bool(args.fsal and solver_fn is rk45_solve_pallas),
                 "solver": (
                     "radau-pallas"
                     if args.solver == "radau"

@@ -145,6 +145,10 @@ def main() -> None:
     p.add_argument("--keep", action="store_true")
     p.add_argument("--workdir", default=None)
     args = p.parse_args()
+    if abs(args.chunk_days - round(args.chunk_days)) > 1e-9:
+        # Daily t2m forcing makes only whole-day windows valid; fail BEFORE
+        # synthesizing ~300 MB of forcing, not at window 2.
+        p.error(f"--chunk-days must be a whole number of days (t2m dt = 1 day), got {args.chunk_days}")
 
     if args.cpu:
         import jax
@@ -172,13 +176,13 @@ def main() -> None:
 
         import jax
 
-        from tiger_tpu.solver import api as _api
+        from tiger_tpu.profiling import solver_phase_times
 
         out = os.path.join(base, "out")
         extra = {}
         if os.environ.get("TT_PHASE_PROFILE"):
             extra["solver_phases"] = {
-                k: round(v, 3) for k, v in _api._phase_times.items()
+                k: round(v, 3) for k, v in solver_phase_times().items()
             }
         print(json.dumps({
             **extra,

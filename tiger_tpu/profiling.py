@@ -62,6 +62,15 @@ class Metrics:
         return json.dumps(self.summary(), sort_keys=True)
 
 
+def solver_phase_times() -> dict:
+    """Per-phase wall seconds recorded by the solver when TT_PHASE_PROFILE=1
+    (see tiger_tpu.solver.api._phase_mark) — the public accessor, so
+    benchmarks don't reach into the solver's private module state."""
+    from tiger_tpu.solver import api as _api
+
+    return dict(_api._phase_times)
+
+
 def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     """Point JAX's persistent compilation cache at a disk directory.
 
