@@ -35,21 +35,39 @@ def save_state(path: str, y: np.ndarray, link_ids: np.ndarray, sim_time_minutes:
     write_final_netcdf(tmp, np.asarray(y), np.asarray(link_ids))
     with h5py.File(tmp, "a") as f:
         f.attrs["sim_time_minutes"] = float(sim_time_minutes)
+        f.flush()
+    # fsync the data BEFORE the rename: on ext4/xfs the rename can become
+    # durable while the file contents are still in the page cache, which on
+    # power loss leaves a truncated file atomically renamed over the only
+    # resume point.
+    fd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     os.replace(tmp, path)
 
 
 def load_state(
-    path: str, link_ids: Optional[np.ndarray] = None
+    path: str, link_ids: Optional[np.ndarray] = None, require_time: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Read (y [S, N], link_ids [S], sim_time_minutes) from a state file.
 
     If ``link_ids`` is given, rows are re-ordered to match it (a hot start may
     use a subset/permutation of the checkpointed basin, e.g. when the shard
-    layout changed between runs); missing links raise.
+    layout changed between runs); missing links raise.  ``require_time``
+    (crash resume): a file WITHOUT the sim_time_minutes attribute is not a
+    resumable checkpoint (e.g. a plain final_*.nc) — raise instead of
+    silently defaulting to t=0 and re-running the whole span.
     """
     with h5py.File(path, "r") as f:
         y = np.asarray(f["outputs"], np.float64)
         ids = np.asarray(f["system"], np.int64)
+        if require_time and "sim_time_minutes" not in f.attrs:
+            raise ValueError(
+                f"{path} has no sim_time_minutes attribute — it is a plain "
+                "state/final file, not a resumable checkpoint"
+            )
         t = float(f.attrs.get("sim_time_minutes", 0.0))
     if link_ids is not None:
         link_ids = np.asarray(link_ids, np.int64)

@@ -45,4 +45,16 @@ class LookupTable:
             missing = streams[~found][:10]
             raise KeyError(f"Streams missing from lookup table (first 10): {missing}")
         rows = self._order[pos_clip]
-        return self.lat_idx[rows] * lon_size + self.lon_idx[rows]
+        lat = self.lat_idx[rows]
+        lon = self.lon_idx[rows]
+        # Per-axis validation: lon_idx >= lon_size (or negative indices)
+        # would otherwise ALIAS into a neighboring grid row while staying
+        # inside the flattened bound the downstream check tests.
+        bad = (lon < 0) | (lon >= lon_size) | (lat < 0)
+        if bad.any():
+            raise ValueError(
+                f"{int(bad.sum())} lookup row(s) have lon_index outside "
+                f"[0, {lon_size}) or negative lat_index (first streams: "
+                f"{streams[bad][:10]})"
+            )
+        return lat * lon_size + lon

@@ -36,7 +36,19 @@ def _load():
             )
         except Exception as e:  # no toolchain — callers fall back to numpy
             raise ImportError(f"native library unavailable: {e}")
-    lib = ctypes.CDLL(_SO)
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:
+        # Incompatible/corrupt .so must surface as the ImportError the module
+        # contract promises (callers fall back to numpy on ImportError only).
+        raise ImportError(f"native library unloadable: {e}")
+    try:
+        lib.tt_remap_gather  # noqa: B018 — probe a recent symbol up front
+    except AttributeError:
+        raise ImportError(
+            f"stale native library (missing symbols): rebuild with "
+            f"`make -C {_DIR} clean all`"
+        )
     lib.tt_csv_count_rows.restype = ctypes.c_long
     lib.tt_csv_count_rows.argtypes = [ctypes.c_char_p]
     lib.tt_csv_parse.restype = ctypes.c_long
@@ -91,6 +103,12 @@ def remap_gather(grid: np.ndarray, flat_index: np.ndarray) -> np.ndarray:
     n_t = grid.shape[0]
     flat = np.ascontiguousarray(grid.reshape(n_t, -1), np.float32)
     idx = np.ascontiguousarray(flat_index, np.int64)
+    if len(idx) and (idx.min() < 0 or idx.max() >= flat.shape[1]):
+        # The C gather is unchecked (raw slice[idx[s]]): an out-of-range
+        # index would read past the buffer — match the numpy path's error.
+        raise IndexError(
+            f"flat_index outside [0, {flat.shape[1]}) for the given grid"
+        )
     out = np.empty((n_t, len(idx)), np.float32)
     lib.tt_remap_gather(
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -131,7 +131,12 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     resume_t = None
     with metrics.phase("init_state"):
         if cfg.initial.mode == "hot":
-            y0, _, t_ckpt = ckpt.load_state(cfg.initial.file, link_ids)
+            # {rank} templating: multi-process runs checkpoint per rank, so
+            # resume must load each rank's own shard file.
+            state_file = cfg.initial.file.replace("{rank}", str(jax.process_index()))
+            y0, _, t_ckpt = ckpt.load_state(
+                state_file, link_ids, require_time=cfg.initial.resume
+            )
             if y0.shape[1] != model.N_EQ:
                 raise ValueError(
                     f"Hot-start state has {y0.shape[1]} vars, model needs {model.N_EQ}"
@@ -149,6 +154,11 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
             cold = cfg.initial.cold_state or COLD_STATE_DEFAULTS.get(
                 cfg.model.uid, (0.0,) * model.N_EQ
             )
+            if len(cold) != model.N_EQ:
+                raise ValueError(
+                    f"initial.cold_state has {len(cold)} vars, model needs "
+                    f"{model.N_EQ}"
+                )
             y0 = ckpt.cold_state(cold, n_sys)
         y0 = jnp.asarray(y0, dtype)
 
@@ -280,13 +290,10 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
                     routing.routed_discharge(res.dense, model_params, topo)
                 )
             discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
+            from tiger_tpu.io.output import _def_output_dims
+
             with NetCDFWriter(discharge_path) as w:
-                w.def_dim("system", n_sys, np.asarray(link_ids, np.int32), np.int32)
-                w.def_dim("time", len(query_times), query_times, np.float64)
-                w.set_dim_attrs("system", {"long_name": "LinkID"})
-                w.set_dim_attrs(
-                    "time", {"units": "minutes since start of simulation"}
-                )
+                _def_output_dims(w, link_ids, query_times)
                 w.def_var(
                     "discharge", q_routed.astype(np.float64), ("system", "time"),
                     cfg.output.compression_level,
