@@ -327,3 +327,18 @@ def test_missing_cell_lookup_fails_loudly(tmp_path):
     specs = [ForcingSpec(str(tmp_path / "pr.nc"), "pr", 1.0)]
     with pytest.raises(ValueError, match="missing"):
         load_forcings(specs, np.array([1, 2]), str(tmp_path / "lookup.csv"))
+
+
+def test_lookup_rejects_out_of_axis_indices(tmp_path):
+    """lon_index >= lon_size must raise, not alias into the next grid row."""
+    from tiger_tpu.io.lookup import LookupTable
+
+    with open(tmp_path / "lk.csv", "w") as f:
+        f.write("stream,lat_index,lon_index\n1,0,0\n2,0,7\n")
+    lut = LookupTable.load(str(tmp_path / "lk.csv"))
+    with pytest.raises(ValueError, match="lon_index outside"):
+        lut.flat_index(np.array([1, 2]), lon_size=5)
+    # Within bounds: fine.
+    np.testing.assert_array_equal(
+        lut.flat_index(np.array([1, 2]), lon_size=8), [0, 7]
+    )

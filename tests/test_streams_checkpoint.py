@@ -48,3 +48,19 @@ def test_cold_state_broadcast():
     y = ckpt.cold_state((1.0, 2.0), 5)
     assert y.shape == (5, 2)
     np.testing.assert_array_equal(y[4], [1.0, 2.0])
+
+
+def test_resume_requires_checkpoint_time_attr(tmp_path):
+    """A plain final-state file (no sim_time_minutes) must be rejected as a
+    crash-resume point instead of silently restarting from t=0."""
+    import pytest
+
+    from tiger_tpu import checkpoint as ckpt
+    from tiger_tpu.io.output import write_final_netcdf
+
+    path = str(tmp_path / "final.nc")
+    write_final_netcdf(path, np.zeros((3, 5)), np.arange(1, 4))
+    y, ids, t = ckpt.load_state(path)  # plain hot start: allowed, t=0
+    assert t == 0.0
+    with pytest.raises(ValueError, match="not a resumable checkpoint"):
+        ckpt.load_state(path, require_time=True)
