@@ -22,7 +22,11 @@ def _parse_iso8601(s: str) -> _dt.datetime:
     return _dt.datetime.fromisoformat(s)
 
 
-_INTERVAL_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(m|min|h|hr|d|day)s?\s*$")
+# 's' plural only on word units: a bare-letter unit with 's' ('ms', 'hs')
+# would silently parse as minutes/hours ('500ms' != 500 minutes).
+_INTERVAL_RE = re.compile(
+    r"^\s*(\d+(?:\.\d+)?)\s*(m|min(?:s)?|h|hr(?:s)?|hour(?:s)?|d|day(?:s)?)\s*$"
+)
 
 
 def parse_interval_minutes(text: str) -> float:
@@ -31,7 +35,14 @@ def parse_interval_minutes(text: str) -> float:
     if not m:
         raise ValueError(f"Bad interval {text!r}; expected like '15m', '1h', '1d'")
     value, unit = float(m.group(1)), m.group(2)
-    return value * {"m": 1.0, "min": 1.0, "h": 60.0, "hr": 60.0, "d": 1440.0, "day": 1440.0}[unit]
+    minutes = value * {
+        "m": 1.0, "min": 1.0, "mins": 1.0,
+        "h": 60.0, "hr": 60.0, "hrs": 60.0, "hour": 60.0, "hours": 60.0,
+        "d": 1440.0, "day": 1440.0, "days": 1440.0,
+    }[unit]
+    if minutes <= 0:
+        raise ValueError(f"Interval {text!r} must be positive")
+    return minutes
 
 
 @dataclasses.dataclass
@@ -192,15 +203,22 @@ def load_config(path: str) -> SimulationConfig:
         )
         if cfg.time.chunk_days < 0:
             raise ValueError(f"time.chunk_days must be >= 0, got {cfg.time.chunk_days}")
+        if cfg.time.end <= cfg.time.start:
+            raise ValueError(
+                f"time.end ({cfg.time.end}) must be after time.start "
+                f"({cfg.time.start})"
+            )
     if i := doc.get("initial"):
         cfg.initial = InitialInfo(
             mode=str(i.get("mode", "cold")),
-            file=str(i.get("file", "")) if i.get("mode") == "hot" else "",
+            file=str(i.get("file") or "") if i.get("mode") == "hot" else "",
             cold_state=list(i["cold_state"]) if i.get("cold_state") else None,
             resume=bool(i.get("resume", False)),
         )
         if cfg.initial.mode not in ("cold", "hot"):
             raise ValueError(f"initial.mode must be cold|hot, got {cfg.initial.mode}")
+        if cfg.initial.mode == "hot" and not cfg.initial.file:
+            raise ValueError("initial.mode hot requires initial.file")
         if cfg.initial.resume and cfg.initial.mode != "hot":
             raise ValueError("initial.resume requires initial.mode: hot")
     if lp := doc.get("local_params"):
@@ -210,7 +228,10 @@ def load_config(path: str) -> SimulationConfig:
                 "stream_id": int(cols.get("stream_id", 0)),
                 "next_stream_id": int(cols.get("next_stream_id", 1)),
                 "params_start": int(cols.get("params_start", 2)),
-                "num_params": int(cols.get("num_params", 15)),
+                # Default = the FULL positional schema (16 columns incl.
+                # t_thres); a 15 here silently zeroed the melt threshold for
+                # configs that omitted num_params.
+                "num_params": int(cols.get("num_params", 16)),
             }
             if "has_header" in cols:
                 # Explicit header declaration beats the loader's sniff
@@ -266,6 +287,12 @@ def load_config(path: str) -> SimulationConfig:
             precision=str(s.get("precision", "f64")),
             forcing_precision=str(s.get("forcing_precision", "f32")),
         )
+        if cfg.solver.method.lower() != "rk45":
+            raise ValueError(
+                f"solver.method must be RK45 (got {cfg.solver.method!r}): the "
+                "engine is the RK45+Radau hybrid — stiff systems are routed "
+                "to Radau automatically, there is no all-Radau mode"
+            )
         if cfg.solver.precision not in ("f64", "f32"):
             raise ValueError(f"solver.precision must be f64|f32, got {cfg.solver.precision}")
         if cfg.solver.forcing_precision not in ("f32", "bf16"):

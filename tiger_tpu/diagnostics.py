@@ -63,9 +63,11 @@ def describe_forcings(forcings: ForcingSet) -> Dict:
                 "offset_rows": int(off),
                 "n_steps": int(n_t),
                 "dt_min": float(forcings.meta.dt_min[f_idx]),
-                "min": float(block.min()),
-                "max": float(block.max()),
-                "mean": float(block.mean()),
+                # nan-aware: one NaN (the thing being debugged) must not
+                # blank out the value range.
+                "min": float(np.nanmin(block)) if np.isfinite(block).any() else float("nan"),
+                "max": float(np.nanmax(block)) if np.isfinite(block).any() else float("nan"),
+                "mean": float(np.nanmean(block)) if np.isfinite(block).any() else float("nan"),
                 "n_nan": int(np.isnan(block).sum()),
             }
         )
@@ -81,10 +83,11 @@ def describe_params(params: Dict, system: Optional[int] = None) -> Dict:
         if system is not None:
             out[k] = float(col[system])
         else:
+            finite = np.isfinite(col).any()
             out[k] = {
-                "min": float(col.min()),
-                "max": float(col.max()),
-                "mean": float(col.mean()),
+                "min": float(np.nanmin(col)) if finite else float("nan"),
+                "max": float(np.nanmax(col)) if finite else float("nan"),
+                "mean": float(np.nanmean(col)) if finite else float("nan"),
                 "n_nan": int(np.isnan(col).sum()),
             }
     return out
@@ -113,13 +116,20 @@ def holding_summary(y, labels=None) -> Dict:
     plus NaN/negative counts over all systems."""
     y = np.asarray(y)
     labels = labels or [f"state_{i}" for i in range(y.shape[1])]
-    return {
-        lab: {
-            "min": float(y[:, i].min()),
-            "max": float(y[:, i].max()),
-            "mean": float(y[:, i].mean()),
-            "n_nan": int(np.isnan(y[:, i]).sum()),
-            "n_negative": int((y[:, i] < 0).sum()),
+    if len(labels) != y.shape[1]:
+        raise ValueError(
+            f"{len(labels)} labels for {y.shape[1]} states — a short list "
+            "would silently drop trailing states from the report"
+        )
+    out = {}
+    for i, lab in enumerate(labels):
+        col = y[:, i]
+        finite = np.isfinite(col).any()
+        out[lab] = {
+            "min": float(np.nanmin(col)) if finite else float("nan"),
+            "max": float(np.nanmax(col)) if finite else float("nan"),
+            "mean": float(np.nanmean(col)) if finite else float("nan"),
+            "n_nan": int(np.isnan(col).sum()),
+            "n_negative": int((col < 0).sum()),
         }
-        for i, lab in enumerate(labels)
-    }
+    return out

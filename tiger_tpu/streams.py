@@ -25,10 +25,14 @@ class StreamSet:
     _topology: Optional[Topology] = None
 
     @staticmethod
-    def from_csv(csv_path: str, y0_common) -> "StreamSet":
+    def from_csv(csv_path: str, y0_common, columns: Optional[dict] = None) -> "StreamSet":
         """Build from a parameter CSV and a common cold-start state
-        (main.cpp:376-382 builds the same vector of Stream objects)."""
-        sp = params_mod.load_spatial_params(csv_path)
+        (main.cpp:376-382 builds the same vector of Stream objects).
+
+        ``columns``: optional positional mapping (the config schema's
+        local_params.columns) for headerless/foreign CSVs — same as
+        load_spatial_params."""
+        sp = params_mod.load_spatial_params(csv_path, columns=columns)
         n = params_mod.num_systems(sp)
         y0 = np.tile(np.asarray(y0_common, np.float64), (n, 1))
         return StreamSet(params=sp, y0=y0)
