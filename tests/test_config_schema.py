@@ -186,3 +186,40 @@ def test_reference_config_yaml_runs_adjusted(tmp_path):
         day1 = np.asarray(f["outputs"])
     with h5py.File(f"{tmp_path}/out/dense_example_rank_0.nc") as f:
         np.testing.assert_allclose(np.asarray(f["outputs"])[:, 0, :], day1)
+
+
+def test_config_validation_rejects_bad_inputs(tmp_path):
+    import pytest
+
+    from tiger_tpu.config import load_config, parse_interval_minutes
+
+    # Interval units: bare-letter units take no plural (500ms != 500 min).
+    with pytest.raises(ValueError):
+        parse_interval_minutes("500ms")
+    with pytest.raises(ValueError):
+        parse_interval_minutes("0h")
+    assert parse_interval_minutes("2 hours") == 120.0
+
+    def write(cfg_text):
+        p = tmp_path / "c.yaml"
+        p.write_text(cfg_text)
+        return str(p)
+
+    base = """
+model: {uid: 204}
+local_params: {file: x.csv}
+"""
+    with pytest.raises(ValueError, match="must be after"):
+        load_config(write(base + """
+time: {start: "2021-01-03T00:00:00", end: "2021-01-01T00:00:00"}
+"""))
+    with pytest.raises(ValueError, match="requires initial.file"):
+        load_config(write(base + """
+time: {start: "2021-01-01T00:00:00", end: "2021-01-02T00:00:00"}
+initial: {mode: hot}
+"""))
+    with pytest.raises(ValueError, match="solver.method"):
+        load_config(write(base + """
+time: {start: "2021-01-01T00:00:00", end: "2021-01-02T00:00:00"}
+solver: {method: Radau}
+"""))
