@@ -80,3 +80,20 @@ def test_csv_empty_field_raises(tmp_path):
     path.write_text("a,b\n1,\n")
     with pytest.raises(ValueError, match="Non-numeric"):
         native.load_csv_columns(str(path), ["a", "b"])
+
+
+def test_native_rejects_empty_last_field(tmp_path):
+    """'1,2,\\n' must error (strtod would otherwise swallow the newline and
+    silently parse the NEXT line's first number into the wrong row)."""
+    import pytest
+
+    from tiger_tpu import native
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b,c\n1,2,\n4,5,6\n")
+    try:
+        native._load()
+    except ImportError:
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError):
+        native.load_csv_columns(str(p), ("a", "b", "c"))

@@ -109,7 +109,10 @@ long tt_csv_parse(const char* path, const char** cols, int n_cols,
                 // Empty / non-numeric fields must error like std::stod in the
                 // reference (parameters_loader.cpp:62-105) rather than load
                 // as 0.0 (n_mann=0 would divide by zero in the Manning term).
-                if (after == q) return -4;
+                // after > line_end: an EMPTY LAST field ("1,2,\n") would let
+                // strtod skip the newline and silently parse the NEXT line's
+                // first number.
+                if (after == q || after > line_end) return -4;
                 out[want[field]][row] = v;
             }
             char* comma = static_cast<char*>(memchr(q, ',', line_end - q));
@@ -117,10 +120,7 @@ long tt_csv_parse(const char* path, const char** cols, int n_cols,
             q = comma + 1;
             field++;
         }
-        if (field < n_fields) {
-            // allow trailing parsed-last-field case: field == n_fields-1 handled above
-            if (field != n_fields) return -3;
-        }
+        if (field < n_fields) return -3;  // short row
         row++;
         p = line_end + 1;
     }
