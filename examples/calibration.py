@@ -17,9 +17,14 @@ Run:  python examples/calibration.py          (CPU, ~20 s)
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+# Runnable straight from a git checkout, no install needed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

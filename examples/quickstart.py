@@ -8,9 +8,15 @@ For real basins, use the CLI instead (tiger-tpu --config simulation.yaml) —
 see examples/simulation.yaml.
 """
 
+import os
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Runnable straight from a git checkout, no install needed.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tiger_tpu import ForcingSet, Model204, SolverConfig, solve
 from tiger_tpu import routing
