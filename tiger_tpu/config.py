@@ -139,6 +139,9 @@ class SolverInfo:
     # 'bf16' halves the forcing VMEM footprint when long windows would
     # otherwise force smaller kernel tiles.
     forcing_precision: str = "f32"
+    # Step-size controller: 'i' (reference parity) or 'pi' (Lund-stabilized;
+    # fewer rejected attempts on forcing-kink-heavy runs).
+    controller: str = "i"
 
 
 @dataclasses.dataclass
@@ -184,6 +187,7 @@ class SimulationConfig:
             max_scale=self.solver.max_scale,
             initial_step=self.solver.initial_step,
             forcing_dtype=self.solver.forcing_precision,
+            controller=self.solver.controller,
         )
 
 
@@ -299,6 +303,10 @@ def load_config(path: str) -> SimulationConfig:
             raise ValueError(
                 f"solver.forcing_precision must be f32|bf16, got "
                 f"{cfg.solver.forcing_precision}"
+            )
+        if cfg.solver.controller not in ("i", "pi"):
+            raise ValueError(
+                f"solver.controller must be i|pi, got {cfg.solver.controller!r}"
             )
         if cfg.solver.precision == "f32" and cfg.solver.rtol < 5e-6:
             import warnings

@@ -155,6 +155,8 @@ class _Carry(NamedTuple):
     y: tuple  # N_EQ arrays of (R, 128) — kept 2-D; Mosaic dislikes 3-D vectors
     k0: tuple  # FSAL carry: rhs(t, y) per lane (empty tuple when fsal off)
     reject: jax.Array  # (R, 128) int32
+    facold: tuple  # PI-controller state: last accepted error norm, as a
+    #                1-tuple of (R, 128); empty tuple when controller='i'
     stiff: jax.Array  # (R, 128) int32 (0/1: Mosaic rejects i1 vector carries)
     n_acc: jax.Array
     n_rej: jax.Array
@@ -273,6 +275,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             y=y0,
             k0=tuple(k0_init),
             reject=vzi,
+            facold=((vz + 1e-4,) if cfg.controller == "pi" else ()),
             stiff=h0_ref[2].astype(i32) + vzi,
             n_acc=vzi,
             n_rej=vzi,
@@ -390,10 +393,25 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
                 lax.fori_loop(q_lo, q_hi, fill, 0)
 
-            raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
+            if cfg.controller == "pi":
+                # Lund-stabilized PI (see SolverConfig.controller): accepted
+                # steps credit the previous accepted error; rejections use
+                # the unstabilized factor, mirroring solver/rk45.py.
+                expo = 0.2 - cfg.pi_beta * 0.75
+                base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
+                raw_fac = base_fac * c.facold[0] ** cfg.pi_beta
+                facold_new = (
+                    jnp.where(
+                        act_i * accept_i > 0, jnp.maximum(err, 1e-4), c.facold[0]
+                    ),
+                )
+            else:
+                base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
+                raw_fac = base_fac
+                facold_new = ()
             fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
             fac_rej = jnp.where(
-                jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0)
+                jnp.isnan(base_fac), cfg.nan_shrink, jnp.minimum(base_fac, 1.0)
             )
             fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
 
@@ -438,6 +456,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 ),
                 k0=k0_new,
                 reject=jnp.where(act_i > 0, reject_new, c.reject),
+                facold=facold_new,
                 stiff=stiff_acc,
                 n_acc=c.n_acc + advance_i,
                 n_rej=c.n_rej + rejected_i,

@@ -84,6 +84,17 @@ class SolverConfig:
     # larger observational error than that, but the default stays exact.
     forcing_dtype: str = "f32"
 
+    # Step-size controller.  'i' is the reference's plain integral control
+    # h *= safety * err^(-1/5) (rk45_kernel.cu:118-127).  'pi' adds Lund
+    # stabilization (Hairer & Wanner DOPRI5: exponent 1/5 - 0.75*beta on the
+    # current error and +beta on the PREVIOUS accepted error): smoother h
+    # sequences, fewer accept/reject oscillations near the tolerance — the
+    # rejected fraction of attempts drops on forcing-kink-heavy runs.
+    # NON-PARITY: step sequences differ from the reference (results agree at
+    # controller tolerance).  Applies to both RK45 paths (vmap and kernel).
+    controller: str = "i"
+    pi_beta: float = 0.04
+
     # FSAL (first-same-as-last): reuse stage k7 = rhs(t+h, y_out) as the next
     # attempt's k1, cutting RHS evaluations from 7 to 6 per attempted step
     # (the reference recomputes k1 every step, rk45_kernel.cu:114).  In the
@@ -130,3 +141,7 @@ class SolverConfig:
             raise ValueError("dense_chunk must be >= 1")
         if self.forcing_dtype not in ("f32", "bf16"):
             raise ValueError(f"forcing_dtype must be f32|bf16, got {self.forcing_dtype!r}")
+        if self.controller not in ("i", "pi"):
+            raise ValueError(f"controller must be i|pi, got {self.controller!r}")
+        if not 0.0 <= self.pi_beta <= 0.2:
+            raise ValueError(f"pi_beta must be in [0, 0.2], got {self.pi_beta}")

@@ -116,6 +116,8 @@ class _Carry(NamedTuple):
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
+    facold: jax.Array  # last accepted error norm (Lund stabilization state;
+    #                    carried but unused under controller='i')
     dense: jax.Array
 
 
@@ -207,6 +209,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         n_acc=jnp.zeros((), i32),
         n_rej=jnp.zeros((), i32),
         n_att=jnp.zeros((), i32),
+        facold=jnp.asarray(1e-4, dtype),
         dense=dense0,
     )
 
@@ -236,11 +239,22 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         else:
             dense, next_q, next_qt = c.dense, c.next_q, c.next_qt
 
-        raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
+        if cfg.controller == "pi":
+            # Lund-stabilized PI (Hairer & Wanner DOPRI5): accept factor
+            # safety * err^-(1/5 - 0.75*beta) * facold^beta; rejections use
+            # the unstabilized factor (no previous-error credit).
+            expo = 0.2 - cfg.pi_beta * 0.75
+            base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
+            raw_fac = base_fac * c.facold**cfg.pi_beta
+            facold_new = jnp.where(accept, jnp.maximum(err, 1e-4), c.facold)
+        else:
+            base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
+            raw_fac = base_fac
+            facold_new = c.facold
         fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
         # NaN error: cfg.nan_shrink (1.0 == CUDA parity: fmin(NaN,1) is 1.0
         # so the reference retries at the SAME h; default shrinks instead).
-        fac_rej = jnp.where(jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0))
+        fac_rej = jnp.where(jnp.isnan(base_fac), cfg.nan_shrink, jnp.minimum(base_fac, 1.0))
         fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
 
         h_adv = h_eff * fac_acc
@@ -264,6 +278,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             n_acc=c.n_acc + advance.astype(i32),
             n_rej=c.n_rej + (~accept).astype(i32),
             n_att=c.n_att + 1,
+            facold=facold_new,
             dense=dense,
         )
 
