@@ -142,6 +142,8 @@ class SolverInfo:
     # Step-size controller: 'i' (reference parity) or 'pi' (Lund-stabilized;
     # fewer rejected attempts on forcing-kink-heavy runs).
     controller: str = "i"
+    # Lund stabilization exponent (controller='pi' only); DOPRI5's beta=0.04.
+    pi_beta: float = 0.04
 
 
 @dataclasses.dataclass
@@ -188,6 +190,7 @@ class SimulationConfig:
             initial_step=self.solver.initial_step,
             forcing_dtype=self.solver.forcing_precision,
             controller=self.solver.controller,
+            pi_beta=self.solver.pi_beta,
         )
 
 
@@ -290,6 +293,8 @@ def load_config(path: str) -> SimulationConfig:
             initial_step=(None if s.get("initial_step") is None else float(s["initial_step"])),
             precision=str(s.get("precision", "f64")),
             forcing_precision=str(s.get("forcing_precision", "f32")),
+            controller=str(s.get("controller", "i")),
+            pi_beta=float(s.get("pi_beta", 0.04)),
         )
         if cfg.solver.method.lower() != "rk45":
             raise ValueError(
@@ -307,6 +312,10 @@ def load_config(path: str) -> SimulationConfig:
         if cfg.solver.controller not in ("i", "pi"):
             raise ValueError(
                 f"solver.controller must be i|pi, got {cfg.solver.controller!r}"
+            )
+        if not 0.0 <= cfg.solver.pi_beta <= 0.2:
+            raise ValueError(
+                f"solver.pi_beta must be in [0, 0.2], got {cfg.solver.pi_beta}"
             )
         if cfg.solver.precision == "f32" and cfg.solver.rtol < 5e-6:
             import warnings

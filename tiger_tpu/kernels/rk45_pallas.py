@@ -271,11 +271,13 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             h=h0_ref[1],  # row 1 = current step size (carried across windows)
             # (stiff below: row 2 = stiff flags carried across windows — a
             # lane flagged in window k must not re-integrate from NaN state
-            # in every later window, burning ~max_rejects attempts each.)
+            # in every later window, burning ~max_rejects attempts each.
+            # row 3 = PI-controller facold, likewise carried so the windowed
+            # step sequence matches the unwindowed kernel and the vmap path.)
             y=y0,
             k0=tuple(k0_init),
             reject=vzi,
-            facold=((vz + 1e-4,) if cfg.controller == "pi" else ()),
+            facold=((h0_ref[3],) if cfg.controller == "pi" else ()),
             stiff=h0_ref[2].astype(i32) + vzi,
             n_acc=vzi,
             n_rej=vzi,
@@ -296,7 +298,8 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 b2i(c.t < tf_s) * b2i(c.stiff == 0) * b2i(c.n_att < cfg.max_steps)
             )
             t, y = c.t, c.y
-            h_eff = jnp.where(t + c.h > tf_s, tf_s - t, c.h)
+            clamp_i = b2i(t + c.h > tf_s)
+            h_eff = jnp.where(clamp_i > 0, tf_s - t, c.h)
 
             f_vals = None
             if meta is not None:
@@ -394,15 +397,22 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 lax.fori_loop(q_lo, q_hi, fill, 0)
 
             if cfg.controller == "pi":
-                # Lund-stabilized PI (see SolverConfig.controller): accepted
-                # steps credit the previous accepted error; rejections use
-                # the unstabilized factor, mirroring solver/rk45.py.
+                # Lund-stabilized PI (see SolverConfig.controller): committed
+                # steps credit the previous committed error; rejections and
+                # discarded slope-cut attempts use the unstabilized factor,
+                # mirroring solver/rk45.py.
                 expo = 0.2 - cfg.pi_beta * 0.75
                 base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
                 raw_fac = base_fac * c.facold[0] ** cfg.pi_beta
+                # Clamped landing steps (tf or a query-window boundary) don't
+                # feed the stabilization state — their artificially small
+                # error would floor facold and damp post-boundary growth
+                # (solver/rk45.py has the same gate).
                 facold_new = (
                     jnp.where(
-                        act_i * accept_i > 0, jnp.maximum(err, 1e-4), c.facold[0]
+                        advance_i * (1 - clamp_i) > 0,
+                        jnp.maximum(err, 1e-4),
+                        c.facold[0],
                     ),
                 )
             else:
@@ -417,9 +427,15 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
             h0_lane = h0_ref[0]
             h_slope = jnp.maximum(h_eff * 0.5, h0_lane * cfg.min_step_fraction)
+            # Clamped landing steps never shrink the carried h below its
+            # pre-clamp value — the next query window resumes at the natural
+            # step size (solver/rk45.py has the same rule).
+            h_adv = jnp.where(
+                clamp_i > 0, jnp.maximum(h_eff * fac_acc, c.h), h_eff * fac_acc
+            )
             h_new = jnp.where(
                 advance_i > 0,
-                h_eff * fac_acc,
+                h_adv,
                 jnp.where(slope_i > 0, h_slope, h_eff * fac_rej),
             )
             reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
@@ -480,6 +496,8 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         stats_ref[2] = out.n_att
         stats_ref[3] = notc_i * (1 - out.stiff)
         hout_ref[0] = out.h
+        # Row 1: PI facold, fed back as h0_ref row 3 by the window scan.
+        hout_ref[1] = out.facold[0] if cfg.controller == "pi" else out.h * 0.0
 
     return kernel
 
@@ -620,7 +638,7 @@ def _pallas_pipeline(
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
@@ -631,14 +649,14 @@ def _pallas_pipeline(
         ),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
         jax.ShapeDtypeStruct((4, r_total, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((1, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((2, r_total, LANES), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -658,7 +676,9 @@ def _pallas_pipeline(
             [jnp.full((), t0, jnp.float32), jnp.full((), tf, jnp.float32),
              jnp.asarray(t_shift, jnp.float32)]
         )[None, :]
-        h_pair = jnp.concatenate([h0_m, h0_m, jnp.zeros_like(h0_m)], axis=0)
+        h_pair = jnp.concatenate(
+            [h0_m, h0_m, jnp.zeros_like(h0_m), jnp.full_like(h0_m, 1e-4)], axis=0
+        )
         yf, dense, stiff, stats, _ = call(
             bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m
         )
@@ -698,18 +718,19 @@ def _pallas_pipeline(
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
 
         def wbody(carry, xs):
-            y_in, h_in, stiff_acc, stats_acc, failed_acc = carry
+            y_in, h_in, facold_in, stiff_acc, stats_acc, failed_acc = carry
             qt_c, bnds = xs
             yf_w, dense_w, stiff_w, stats_w, h_out = call(
                 bnds[None], qt_c, qt_c, y_in,
                 jnp.concatenate(
-                    [h0_m, h_in, stiff_acc.astype(jnp.float32)], axis=0
+                    [h0_m, h_in, stiff_acc.astype(jnp.float32), facold_in], axis=0
                 ),
                 p_m, f_m,
             )
             carry = (
                 yf_w,
-                h_out,
+                h_out[0:1],
+                h_out[1:2],  # PI facold carried across windows (ADVICE r02)
                 jnp.maximum(stiff_acc, stiff_w),
                 stats_acc + stats_w[:3],
                 jnp.maximum(failed_acc, stats_w[3:4]),
@@ -719,11 +740,12 @@ def _pallas_pipeline(
         init = (
             y0_m,
             h0_m,
+            jnp.full((1, r_total, LANES), 1e-4, jnp.float32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
             jnp.zeros((3, r_total, LANES), jnp.int32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
         )
-        (yf, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
+        (yf, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
             wbody, init, (qt_chunks, bounds_seq)
         )
         dense = dense_seq.reshape(n_w * q_chunk, n_eq, r_total, LANES)

@@ -217,7 +217,8 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         return (c.t < tf) & (~c.stiff) & (c.n_att < cfg.max_steps)
 
     def body(c: _Carry):
-        h_eff = jnp.where(c.t + c.h > tf, tf - c.t, c.h)
+        clamped = c.t + c.h > tf
+        h_eff = jnp.where(clamped, tf - c.t, c.h)
         f_vals = gather(c.t) if gather is not None else None
 
         def rhs_t(tt, yy):
@@ -242,11 +243,20 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         if cfg.controller == "pi":
             # Lund-stabilized PI (Hairer & Wanner DOPRI5): accept factor
             # safety * err^-(1/5 - 0.75*beta) * facold^beta; rejections use
-            # the unstabilized factor (no previous-error credit).
+            # the unstabilized factor (no previous-error credit).  facold is
+            # updated only on COMMITTED steps (advance) — a slope-cut attempt
+            # passes the error test but is discarded and retried, and Hairer's
+            # DOPRI5 seeds the stabilization state from committed steps only.
             expo = 0.2 - cfg.pi_beta * 0.75
             base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
             raw_fac = base_fac * c.facold**cfg.pi_beta
-            facold_new = jnp.where(accept, jnp.maximum(err, 1e-4), c.facold)
+            # Clamped landing steps (h cut to hit tf — or a window boundary in
+            # the kernel's query-windowed mode) don't feed the stabilization
+            # state: their artificially small error would floor facold to 1e-4
+            # and damp post-boundary growth ~31% for no numerical reason.
+            facold_new = jnp.where(
+                advance & ~clamped, jnp.maximum(err, 1e-4), c.facold
+            )
         else:
             base_fac = cfg.safety * (1.0 / (err + 1e-16)) ** 0.2
             raw_fac = base_fac
@@ -257,7 +267,11 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         fac_rej = jnp.where(jnp.isnan(base_fac), cfg.nan_shrink, jnp.minimum(base_fac, 1.0))
         fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
 
-        h_adv = h_eff * fac_acc
+        # A clamped landing step must not shrink the carried h either: the
+        # controller's intent is h_eff*fac, but never below the pre-clamp h
+        # (matters only when h is consumed after the landing — the kernel's
+        # window scan; here the final h is unused, so parity is unaffected).
+        h_adv = jnp.where(clamped, jnp.maximum(h_eff * fac_acc, c.h), h_eff * fac_acc)
         h_slope = jnp.maximum(h_eff * 0.5, jnp.asarray(h0, dtype) * cfg.min_step_fraction)
         h_rej = h_eff * fac_rej
         h_new = jnp.where(advance, h_adv, jnp.where(slope_cut, h_slope, h_rej))
