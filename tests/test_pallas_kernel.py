@@ -307,6 +307,50 @@ def test_fsal_matches_default_at_tolerance():
     _assert_steps_close(fsal.stats.n_attempts, base.stats.n_attempts, mask=mask)
 
 
+def test_fsal_no_spurious_flags_on_forcing_kinks():
+    # Hour-to-hour varying rain: every ZOH boundary is a kink.  With forcing
+    # frozen at step start, a naive FSAL carry goes stale across boundaries
+    # (k1's forcing disagrees with k2..k7's) and the inconsistent error
+    # estimate rejection-storms small-magnitude states into bogus stiff
+    # flags (measured 6.5% of the 131k bench).  The kernel's boundary-
+    # crossing carry refresh makes FSAL bit-identical to the default kernel
+    # on this scenario: same flags (none), same attempt counts, same states.
+    import dataclasses
+
+    from tests.test_model204 import NB_PARAMS
+
+    s_count = 64
+    rng = np.random.default_rng(3)
+    params = {
+        k: jnp.asarray(np.full(s_count, v) * rng.uniform(0.9, 1.1, s_count),
+                       jnp.float32)
+        for k, v in NB_PARAMS.items()
+    }
+    pr = rng.uniform(0, 0.0015, (24, s_count)).astype(np.float32)
+    t2m = rng.uniform(2.0, 10.0, (1, s_count)).astype(np.float32)
+    forc = ForcingSet.from_series([pr, t2m], [60.0, 1440.0])
+    y0 = jnp.tile(jnp.asarray([0.01, 3.0, 0.0, 5.0, 0.2], jnp.float32), (s_count, 1))
+    h0 = jnp.full((s_count,), 1e-3, jnp.float32)
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8, max_steps=50_000)
+
+    base = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, None, params, forc, h0=h0, config=cfg,
+        interpret=True,
+    )
+    fsal = rk45_solve_pallas(
+        Model204(), y0, 0.0, 1440.0, None, params, forc, h0=h0,
+        config=dataclasses.replace(cfg, fsal=True), interpret=True,
+    )
+    assert not np.asarray(base.stiff).any()
+    assert not np.asarray(fsal.stiff).any(), "stale FSAL carry flagged lanes"
+    np.testing.assert_array_equal(
+        np.asarray(fsal.stats.n_attempts), np.asarray(base.stats.n_attempts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fsal.y_final), np.asarray(base.y_final)
+    )
+
+
 def test_fsal_unforced_dummy_accuracy():
     # Without forcing boundaries FSAL is exact DP-FSAL; must match the
     # default kernel to integration tolerance.

@@ -202,7 +202,11 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
     dp_p = tableau.DP_P
 
     def kernel(bounds_smem, qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
-               yf_ref, dense_ref, stiff_ref, stats_ref, hout_ref):
+               yf_ref, dense_ref, stiff_ref, stats_ref, hout_ref, *scratch):
+        # FSAL-only VMEM scratch for the k1 carry refresh: pl.when branches
+        # communicate through ref stores, not values, so the refreshed slopes
+        # are staged here (allocated only when cfg.fsal).
+        k0_scr = scratch[0] if cfg.fsal else None
         dtype = y0_ref.dtype
         # Window bounds are DYNAMIC scalars (SMEM) so the query-windowed
         # pipeline can lax.scan one compiled kernel over sub-intervals;
@@ -302,6 +306,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             h_eff = jnp.where(clamp_i > 0, tf_s - t, c.h)
 
             f_vals = None
+            t_act_min = t_act_hi = None
             if meta is not None:
                 # Range-reduce over ACTIVE lanes only: a lane stiff-flagged
                 # early freezes its t forever, and an unmasked min would make
@@ -310,12 +315,24 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 # tile's whole remaining run.
                 t_act_min = jnp.min(jnp.where(act_i > 0, t, tf_s))
                 t_act_max = jnp.max(jnp.where(act_i > 0, t, t0_s))
+                t_act_hi = t_act_max
+                if cfg.fsal:
+                    # Stage times reach t + h: widen the gather index window.
+                    t_act_hi = t_act_max + jnp.max(
+                        jnp.where(act_i > 0, h_eff, 0.0)
+                    )
                 f_vals = _gather_forcings(
-                    forc_ref, meta, t, dtype, t_act_min, t_act_max
+                    forc_ref, meta, t, dtype, t_act_min, t_act_hi
                 )
 
             # FSAL: k1 comes from the carry (advanced lanes took last step's
             # k7; rejected lanes' (t, y) are unchanged so theirs is current).
+            # Forcing is frozen at step-start t for EVERY stage (reference
+            # parity, rk45_kernel.cu:84-116) — freezing keeps each step's RHS
+            # smooth, so steps stride ZOH kinks without rejection storms; the
+            # carry staleness this creates at boundary crossings is repaired
+            # below (see the pl.when refresh), making FSAL bit-identical to
+            # the non-FSAL kernel.
             k0 = c.k0 if cfg.fsal else rhs(t, y, f_vals)
             ks = [k0]
             for s in range(1, 7):
@@ -453,13 +470,52 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 b2i(t_new < tf_s) * b2i(stiff_acc == 0) * b2i(n_att_new < cfg.max_steps)
             )
             if cfg.fsal:
-                # k7 = rhs(t+h, y_out) with the b-row == a7-row identity of
-                # Dormand-Prince: exactly the next step's k1 for advanced
-                # lanes (modulo the per-step forcing freeze; see config).
-                k0_new = tuple(
-                    jnp.where(advance_i > 0, ks[6][i], c.k0[i])
-                    for i in range(n_eq)
+                # k7 = rhs(t+h, y_out, f(t)) with the b-row == a7-row identity
+                # of Dormand-Prince (the a7 and b accumulations share the same
+                # nonzero sequence, so acc7 is bit-equal to y_out): exactly
+                # the next step's k1 for advanced lanes — UNLESS the step
+                # crossed a ZOH forcing boundary, in which case the next
+                # step's frozen forcing f(t_new) differs from f(t) and the
+                # carry would go stale.  A stale carry's one inconsistent
+                # stage inflates the error estimate into rejection storms and
+                # spurious stiff flags on small-magnitude states (measured
+                # 8,468 bogus flags and +45% attempts on the 131k bench), so
+                # crossing lanes refresh with one extra RHS eval — gated at
+                # tile level (pl.when): crossings cluster at the shared
+                # forcing boundaries, so most iterations skip the whole
+                # block.  With the refresh, FSAL is bit-identical to the
+                # non-FSAL kernel for every shipped model (stage 7's input is
+                # bit-equal to y_out because DP's a7-row == b-row with the
+                # same nonzero order; its forcing is made consistent here;
+                # the only residual difference is the rhs t argument's Kahan
+                # compensation, and no shipped rhs is t-sensitive below day
+                # granularity) — a pure optimization, not an accuracy trade.
+                t_new_v = jnp.where(advance_i > 0, ks_sum, t)
+                y_new = tuple(
+                    jnp.where(advance_i > 0, y_out[i], y[i]) for i in range(n_eq)
                 )
+                for i in range(n_eq):
+                    k0_scr[i] = jnp.where(advance_i > 0, ks[6][i], c.k0[i])
+                if meta is not None:
+                    crossed = vzi
+                    for n_t, dt in zip(meta.n_steps, meta.dt_min):
+                        io = jnp.clip((t / dt).astype(i32), 0, n_t - 1)
+                        iw = jnp.clip((t_new_v / dt).astype(i32), 0, n_t - 1)
+                        crossed = jnp.maximum(crossed, b2i(io != iw))
+                    crossed = crossed * advance_i
+
+                    @pl.when(jnp.max(crossed) > 0)
+                    def _refresh():
+                        f_new = _gather_forcings(
+                            forc_ref, meta, t_new_v, dtype, t_act_min, t_act_hi
+                        )
+                        fresh = rhs(t_new_v, y_new, f_new)
+                        for i in range(n_eq):
+                            k0_scr[i] = jnp.where(
+                                crossed > 0, fresh[i], k0_scr[i]
+                            )
+
+                k0_new = tuple(k0_scr[i] for i in range(n_eq))
             else:
                 k0_new = ()
             return _Carry(
@@ -665,6 +721,11 @@ def _pallas_pipeline(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=(
+            [pltpu.VMEM((n_eq, tile_rows, LANES), jnp.float32)]
+            if config.fsal
+            else []
+        ),
         interpret=interpret,
     )
 

@@ -100,9 +100,17 @@ class SolverConfig:
     # (the reference recomputes k1 every step, rk45_kernel.cu:114).  In the
     # masked-SIMD kernel this is implemented by carrying k1 (rejected lanes
     # keep theirs unchanged; advanced lanes take k7), so the saving is
-    # unconditional.  NON-PARITY: across a forcing (ZOH) boundary the reused
-    # stage holds the previous step's frozen forcing — a within-tolerance
-    # perturbation of one stage.  Pallas kernel path only.
+    # unconditional.  Forcing stays frozen at step-start t for every stage
+    # (reference parity, rk45_kernel.cu:84-116); whenever an accepted step
+    # crosses a ZOH forcing boundary the carried k7 would hold the previous
+    # interval's forcing, so those lanes refresh the carry with one extra
+    # RHS eval (tile-gated: the refresh block is skipped entirely on
+    # iterations where no lane crossed).  Without the refresh the one stale
+    # stage inflates the error estimate into rejection storms and spurious
+    # stiff flags on small-magnitude states (measured 8,468 bogus flags and
+    # +45% attempts on the 131k-system bench).  With it, fsal is
+    # bit-identical to the default kernel on every shipped model — a pure
+    # optimization.  Pallas kernel path only.
     fsal: bool = False
 
     # True: dense rows for query times <= t0 are prefilled with y0 (sane
