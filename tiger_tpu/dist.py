@@ -156,7 +156,9 @@ def rk45_solve_sharded(
     )
     forc_data = None if forcings is None else _pad_batch(forcings.data, n_pad, axis=1)
     meta = None if forcings is None else forcings.meta
-    qt = None if query_times is None else jnp.asarray(query_times, y0.dtype)
+    from tiger_tpu.kernels.rk45_pallas import dedup_queries
+
+    qt, q_inverse = dedup_queries(query_times, y0.dtype)
 
     res = _sharded_rk45(
         model, y0p, float(t0), float(tf), qt, params_p, forc_data, meta, h0p,
@@ -164,6 +166,8 @@ def rk45_solve_sharded(
     )
     if n_pad:
         res = jax.tree.map(lambda a: a[:s_count], res)
+    if q_inverse is not None:
+        res = res._replace(dense=res.dense[:, q_inverse, :])
     return res
 
 

@@ -599,34 +599,42 @@ def rk45_solve_pallas(
     param_fields = tuple(sorted(params.keys())) if params is not None else ()
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data
-    qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
-    if qt is not None and (np.diff(np.asarray(qt)) < 0).any():
-        # The monotone query cursor (q_lo/q_hi prefix counts, t0 prefill)
-        # assumes sorted times in EVERY mode — unsorted input would produce
-        # silently wrong dense rows rather than an error.
-        raise ValueError("query_times must be sorted ascending")
-    if qt is not None and _plan_tiles(
-        y0.shape[0], qt.shape[0], n_eq,
-        1 if forc_data is None else forc_data.shape[0],
-        max(len(param_fields), 1),
-        2 if config.forcing_dtype == "bf16" else 4,
-    )[1] is not None:
-        # Query-windowed mode splits the run at query times; duplicate query
-        # times would straddle a window boundary and the second copy would
-        # never fill (tq > t0_w fails).  Require strictly increasing.
-        if (np.diff(np.asarray(qt)) <= 0).any():
-            raise ValueError(
-                "query_times must be strictly increasing for query counts "
-                "large enough to trigger kernel auto-windowing"
-            )
+    qt, q_inverse = dedup_queries(query_times, jnp.float32)
     # The whole pipeline (pad/reshape + pallas_call + unpad) runs under ONE
     # jit: dispatched eagerly, the ~15 layout ops each pay a host->device
     # round trip, which dominated wall time on the remote-tunneled TPU.
-    return _pallas_pipeline(
+    res = _pallas_pipeline(
         model, y0, h0, params, forc_data, qt,
         float(t0), float(tf), meta, config, param_fields, bool(interpret),
         jnp.asarray(t_shift, jnp.float32),
     )
+    if q_inverse is not None:
+        res = res._replace(dense=res.dense[:, q_inverse, :])
+    return res
+
+
+def dedup_queries(query_times, dtype):
+    """(unique_qt, inverse|None): uniform duplicate-query contract.
+
+    Every backend accepts sorted query times WITH duplicates (the vmap path
+    fills each copy identically in the same accepted step).  The kernel's
+    query-windowed mode cannot — a duplicate straddling a window boundary
+    would never fill (tq > t0_w fails for the second copy) — so duplicates
+    are collapsed before the pipeline and the dense rows re-expanded after:
+    bit-identical to filling each copy, on every backend and every planner
+    decision (previously the same input succeeded or raised depending on Q
+    and the VMEM budget).  Unsorted input is an error everywhere: the
+    monotone query cursor would silently produce wrong rows.
+    """
+    if query_times is None:
+        return None, None
+    qt_np = np.asarray(query_times)
+    if (np.diff(qt_np) < 0).any():
+        raise ValueError("query_times must be sorted ascending")
+    uniq, inverse = np.unique(qt_np, return_inverse=True)
+    if len(uniq) == len(qt_np):
+        return jnp.asarray(qt_np, dtype), None
+    return jnp.asarray(uniq, dtype), jnp.asarray(inverse)
 
 
 @functools.partial(

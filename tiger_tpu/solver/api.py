@@ -52,8 +52,33 @@ class SolveResult(NamedTuple):
     stiff: jax.Array  # [S] bool — went through the Radau phase
     failed: jax.Array  # [S] bool — did not finish in either phase
     rk_stats: RKStats
+    # [S]-shaped per-lane Radau counters (zeros for lanes that never entered
+    # the stiff phase); None when no lane did.  Segmented CPU retries track
+    # no counters, so their lanes stay zero.
     radau_stats: Optional[RadauStats]
     n_stiff: int
+
+
+def _scatter_stats(
+    acc: Optional[RadauStats], stats, idx_abs: np.ndarray, s_count: int
+) -> RadauStats:
+    """Accumulate a stiff-subset stats tuple (bucket-padded; first
+    ``len(idx_abs)`` entries are real) into full-batch [S] arrays, so
+    consumers never see padding lanes or need to know bucket internals."""
+    if acc is None:
+        acc = RadauStats(
+            n_accepted=np.zeros(s_count, np.int64),
+            n_rejected=np.zeros(s_count, np.int64),
+            n_attempts=np.zeros(s_count, np.int64),
+            n_newton=np.zeros(s_count, np.int64),
+        )
+    out = []
+    for have, field in zip(acc, stats):
+        if field is not None:
+            have = np.asarray(have).copy()
+            have[idx_abs] += np.asarray(field)[: len(idx_abs)]
+        out.append(have)
+    return RadauStats(*out)
 
 
 def _bucket(n: int) -> int:
@@ -165,7 +190,9 @@ def solve(
             or np.isnan(qt_check).any()
             or (len(qt_check) > 1 and (np.diff(qt_check) < 0).any())
         ):
-            raise ValueError("query_times must be a 1-D ascending NaN-free array")
+            raise ValueError(
+                "query_times must be a 1-D NaN-free array sorted ascending"
+            )
         if len(qt_check) and qt_check[-1] > float(tf) + 1e-9:
             # Out-of-span queries would get inconsistent rows: zeros on the
             # interpolated paths, y(tf) from the segmented stiff retry.
@@ -317,8 +344,9 @@ def solve(
             y_final, dense, failed = _merge_gather_apply(
                 y_final, dense, failed, rows_p, rdk.y_final, rdk.dense, rel_p
             )
-            # NOTE: stats arrays are [bucket]-shaped (padding lanes included).
-            radau_stats = rdk.stats
+        # Per-lane counters for EVERY flagged lane (including ones whose
+        # kernel attempt failed and falls through to the CPU retry below).
+        radau_stats = _scatter_stats(radau_stats, rdk.stats, idx0, s_count)
         stiff_mask = np.zeros_like(stiff_mask)
         stiff_mask[idx0[~ok]] = True
         n_stiff_remaining = int(stiff_mask.sum())
@@ -477,8 +505,13 @@ def solve(
                     np.asarray(rd.dense)[:n2],
                     np.asarray(rd.failed)[:n2],
                 )
-                # Segmented retries carry no stats; keep the device rung's.
-                radau_stats = getattr(rd, "stats", None) or radau_stats
+                # Segmented retries carry no per-step counters; unsegmented
+                # (no-query) retries do — fold them into the [S] arrays.
+                rd_stats = getattr(rd, "stats", None)
+                if rd_stats is not None:
+                    radau_stats = _scatter_stats(
+                        radau_stats, rd_stats, idx[still_rel], s_count
+                    )
                 _phase_mark("stiff_radau_retry", t_sub)
 
         if pending:

@@ -44,8 +44,9 @@ class RadauStats(NamedTuple):
     n_accepted: jax.Array
     n_rejected: jax.Array
     n_attempts: jax.Array
-    # Newton sweeps each lane sat through (fused kernel only; None on the
-    # vmap path, whose per-lane iteration counts are not tracked).
+    # Newton sweeps each lane sat through — tracked on both the fused-kernel
+    # and vmap paths (same contract everywhere, so consumers never need to
+    # know which backend produced the result).
     n_newton: Optional[jax.Array] = None
 
 
@@ -110,7 +111,7 @@ def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig):
         maxd = jnp.max(jnp.abs(delta))
         return z, it + 1, maxd
 
-    z, _, _ = lax.while_loop(
+    z, n_newton, _ = lax.while_loop(
         newton_cond, newton_body, (z0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
     )
 
@@ -118,7 +119,7 @@ def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig):
     y_err = h * jnp.tensordot(e_vec, z, 1)
     tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
     err = jnp.max(jnp.abs(y_err / tol))
-    return y_out, err, z
+    return y_out, err, z, n_newton
 
 
 def radau_dense(y, z, h, theta):
@@ -140,6 +141,7 @@ class _Carry(NamedTuple):
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
+    n_newt: jax.Array
     dense: jax.Array
 
 
@@ -166,6 +168,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         n_acc=jnp.zeros((), i32),
         n_rej=jnp.zeros((), i32),
         n_att=jnp.zeros((), i32),
+        n_newt=jnp.zeros((), i32),
         dense=dense0,
     )
 
@@ -183,7 +186,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         def rhs_t(tt, yy):
             return rhs(tt, yy, f_vals)
 
-        y_next, err, z = radau_step(rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg)
+        y_next, err, z, n_newt = radau_step(rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg)
         accept = err <= 1.0
 
         if q_total > 0:
@@ -214,6 +217,7 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             n_acc=c.n_acc + accept.astype(i32),
             n_rej=c.n_rej + (~accept).astype(i32),
             n_att=c.n_att + 1,
+            n_newt=c.n_newt + n_newt,
             dense=dense,
         )
 
@@ -221,7 +225,10 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
     completed = out.t >= tf
     failed = ~completed
     y_final = jnp.where(completed, out.y, jnp.full_like(out.y, jnp.nan))
-    stats = RadauStats(n_accepted=out.n_acc, n_rejected=out.n_rej, n_attempts=out.n_att)
+    stats = RadauStats(
+        n_accepted=out.n_acc, n_rejected=out.n_rej, n_attempts=out.n_att,
+        n_newton=out.n_newt,
+    )
     return RadauResult(y_final=y_final, dense=out.dense, failed=failed, stats=stats)
 
 
