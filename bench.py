@@ -80,13 +80,24 @@ def main() -> None:
         help="radau benches the fused implicit kernel instead",
     )
     p.add_argument(
-        "--fsal", action="store_true",
-        help="rk45 kernel FSAL mode (6 rhs evals/attempt; non-parity)",
+        "--no-fsal", dest="fsal", action="store_false",
+        help="disable the rk45 kernel's FSAL carry (7 rhs evals/attempt "
+        "instead of 6; fsal is bit-identical and on by default)",
     )
     p.add_argument(
-        "--forcing-bf16", action="store_true",
-        help="store kernel-resident forcing in bf16 (halves its VMEM; "
-        "enables taller tiles via TT_TILE_ROWS=128)",
+        "--no-bf16", dest="forcing_bf16", action="store_false",
+        help="keep kernel-resident forcing in f32 (bf16 halves its VMEM "
+        "footprint and is the production default)",
+    )
+    p.add_argument(
+        "--stiff-frac", type=float, default=0.001,
+        help="fraction of systems made genuinely stiff (near-zero Hu) so the "
+        "headline includes the two-phase RK45->Radau orchestration cost",
+    )
+    p.add_argument(
+        "--rk-only", action="store_true",
+        help="bench the bare RK45 kernel (no stiff second phase) — kernel "
+        "micro-benchmark mode, the round-1/2 configuration",
     )
     args = p.parse_args()
 
@@ -103,6 +114,7 @@ def main() -> None:
 
     from __graft_entry__ import _scenario
     from tiger_tpu.models import Model204
+    from tiger_tpu.solver.api import solve
     from tiger_tpu.solver.config import SolverConfig
     from tiger_tpu.solver.rk45 import rk45_solve
     from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
@@ -110,9 +122,17 @@ def main() -> None:
 
     import functools
 
+    two_phase = args.solver == "rk45" and not args.rk_only
     if args.solver == "radau":
         # --cpu runs the kernel in the Pallas interpreter (slow; smoke only).
         solver_fn = functools.partial(radau_solve_pallas, interpret=args.cpu)
+    elif two_phase:
+        # Headline mode: the FULL production pipeline — fused RK45 kernel,
+        # host stiff compaction, on-device Radau rung, result merge — so the
+        # number prices the two-phase orchestration, not just the hot kernel.
+        solver_fn = functools.partial(
+            solve, backend=args.backend if not args.cpu else "auto"
+        )
     else:
         solver_fn = rk45_solve_pallas if args.backend == "pallas" and not args.cpu else rk45_solve
 
@@ -124,15 +144,19 @@ def main() -> None:
         rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal,
         forcing_dtype="bf16" if args.forcing_bf16 else "f32",
     )
-    y0, params, forcings = _scenario(s_count, dtype, days=args.days)
+    y0, params, forcings = _scenario(
+        s_count, dtype, days=args.days,
+        stiff_frac=args.stiff_frac if two_phase else 0.0,
+    )
     qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=dtype)
     h0 = jnp.full((s_count,), 1e-3, dtype)
 
     def solve_once(eps: float):
         # Perturb the input per call: defeats any end-to-end result caching in
         # the execution pipeline, so each timed call is real device work.
+        kw = {} if two_phase else {"h0": h0}
         res = solver_fn(
-            model, y0 + eps, 0.0, tf, qt, params, forcings, h0=h0, config=config
+            model, y0 + eps, 0.0, tf, qt, params, forcings, config=config, **kw
         )
         # Materialize a value derived from the full output.
         checksum = float(jnp.nansum(res.y_final))
@@ -158,16 +182,24 @@ def main() -> None:
     if len(set(sums)) == 1:
         print("warning: identical checksums across perturbed runs", file=sys.stderr)
 
-    n_attempts = int(np.asarray(res.stats.n_attempts).sum())
-    value = n_attempts / wall
+    stats = res.rk_stats if two_phase else res.stats
+    n_attempts = int(np.asarray(stats.n_attempts).sum())
     extra = {}
+    if two_phase and res.radau_stats is not None:
+        # Two-phase headline counts the Radau re-integration attempts too:
+        # those lanes' RK attempts were spent flagging, the Radau steps are
+        # the work that actually finished them.
+        n_radau = int(np.asarray(res.radau_stats.n_attempts).sum())
+        extra["radau_attempts"] = n_radau
+        n_attempts += n_radau
+    value = n_attempts / wall
     if hasattr(res, "stiff"):
         extra["n_stiff"] = int(np.asarray(res.stiff).sum())
     # RadauResult has no stiff flag — report failures under their own name.
     extra["n_failed"] = int(np.asarray(res.failed).sum())
-    if getattr(res.stats, "n_newton", None) is not None:
-        n_sweeps = int(np.asarray(res.stats.n_newton).sum())
-        n_acc = int(np.asarray(res.stats.n_accepted).sum())
+    if getattr(stats, "n_newton", None) is not None:
+        n_sweeps = int(np.asarray(stats.n_newton).sum())
+        n_acc = int(np.asarray(stats.n_accepted).sum())
         extra["newton_sweeps_per_attempt"] = round(n_sweeps / max(n_attempts, 1), 3)
         extra["accept_ratio"] = round(n_acc / max(n_attempts, 1), 4)
 
