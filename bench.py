@@ -234,12 +234,25 @@ def main() -> None:
                 "steps_total": n_attempts,
                 "wall_s": wall,
                 "backend": jax.devices()[0].platform,
-                # fsal is implemented only in the fused RK45 kernel.
-                "fsal": bool(args.fsal and solver_fn is rk45_solve_pallas),
+                # fsal is implemented only in the fused RK45 kernel (which
+                # the two-phase pipeline dispatches to on TPU f32 batches).
+                "fsal": bool(
+                    args.fsal
+                    and (two_phase or solver_fn is rk45_solve_pallas)
+                    and not args.cpu
+                ),
                 "solver": (
                     "radau-pallas"
                     if args.solver == "radau"
-                    else ("pallas" if solver_fn is rk45_solve_pallas else "xla-vmap")
+                    else (
+                        f"two-phase-{args.backend}"
+                        if two_phase
+                        else (
+                            "pallas"
+                            if solver_fn is rk45_solve_pallas
+                            else "xla-vmap"
+                        )
+                    )
                 ),
                 **extra,
             }

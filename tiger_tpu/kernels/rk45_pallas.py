@@ -57,9 +57,10 @@ _VMEM_BUDGET = int(_os.environ.get("TT_VMEM_BUDGET", 10 * 2**20))  # ~16 MB/core
 def _per_lane_bytes(qp: int, n_eq: int, t_forc: int, n_params: int,
                     f_bytes: int = 4) -> int:
     """VMEM bytes per lane: double-buffered dense block, forcing block,
-    params, and ~70 live f32 values (carries, 7 stages, temporaries).
-    ONE source of truth for the planner and its tests."""
-    return 4 * (2 * qp * n_eq + n_params + 70) + f_bytes * t_forc
+    params, and ~74 live f32 values (carries incl. the stiffness-detector
+    counters, 7 stages, temporaries).  ONE source of truth for the planner
+    and its tests."""
+    return 4 * (2 * qp * n_eq + n_params + 74) + f_bytes * t_forc
 
 
 def _pick_tile_rows(
@@ -158,6 +159,8 @@ class _Carry(NamedTuple):
     facold: tuple  # PI-controller state: last accepted error norm, as a
     #                1-tuple of (R, 128); empty tuple when controller='i'
     stiff: jax.Array  # (R, 128) int32 (0/1: Mosaic rejects i1 vector carries)
+    det: tuple  # Hairer stiffness-detector counters (iasti, nonsti) as
+    #             (R, 128) i32 pairs; empty tuple when cfg.stiff_detect off
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
@@ -283,6 +286,13 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             reject=vzi,
             facold=((h0_ref[3],) if cfg.controller == "pi" else ()),
             stiff=h0_ref[2].astype(i32) + vzi,
+            # rows 4/5 = Hairer detector counters, carried across windows so
+            # a cruise straddling a window boundary still accumulates.
+            det=(
+                (h0_ref[4].astype(i32) + vzi, h0_ref[5].astype(i32) + vzi)
+                if cfg.stiff_detect
+                else ()
+            ),
             n_acc=vzi,
             n_rej=vzi,
             n_att=vzi,
@@ -335,6 +345,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             # the non-FSAL kernel.
             k0 = c.k0 if cfg.fsal else rhs(t, y, f_vals)
             ks = [k0]
+            g6 = y  # stage-6 argument (captured below; Hairer hlamb test)
             for s in range(1, 7):
                 acc = list(y)
                 for j in range(s):
@@ -342,6 +353,8 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                         # float(): weak-typed so f32 math stays f32 under x64.
                         w = float(dp_a[s, j])
                         acc = [acc[i] + (h_eff * w) * ks[j][i] for i in range(n_eq)]
+                if s == 5:
+                    g6 = tuple(acc)
                 ks.append(rhs(t + float(dp_c[s]) * h_eff, tuple(acc), f_vals))
 
             y_out = list(y)
@@ -461,6 +474,48 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 b2i(h_new < span * cfg.min_step_fraction),
             )
 
+            if cfg.stiff_detect:
+                # Hairer stability-boundary detector (SolverConfig.stiff_*,
+                # mirror of solver/rk45.py): |h*lambda| estimated from the
+                # two t+h stages; stiff_streak consecutive TESTED committed
+                # steps beyond stiff_hlamb flag the lane.  Catches
+                # accept-cruisers pinned at the explicit stability limit
+                # (err just under 1, never rejecting) that the reject-only
+                # criteria above miss — one such lane otherwise dilates its
+                # whole tile ~30x.
+                stnum = jnp.zeros(shp, dtype)
+                stden = jnp.zeros(shp, dtype)
+                for i in range(n_eq):
+                    stnum = jnp.maximum(stnum, jnp.abs(ks[6][i] - ks[5][i]))
+                    stden = jnp.maximum(stden, jnp.abs(y_out[i] - g6[i]))
+                hlamb = jnp.where(stden > 0, h_eff * stnum / stden, 0.0)
+                # Test cadence (Hairer's NSTIFF): every stiff_test_every-th
+                # accepted step; power-of-two so the mod is a bitwise AND.
+                n_acc_i = c.n_acc + advance_i
+                tested_i = advance_i * b2i(
+                    (n_acc_i & (cfg.stiff_test_every - 1)) == 0
+                )
+                # Slope-cut attempts trip UNCADENCED (mirror of
+                # solver/rk45.py: each cut is unambiguous stiffness evidence
+                # and a throttling treadmill — h halved, step discarded).
+                trip_i = jnp.maximum(
+                    slope_i, tested_i * b2i(hlamb > cfg.stiff_hlamb)
+                )
+                calm_i = tested_i * (1 - b2i(hlamb > cfg.stiff_hlamb))
+                iasti1 = jnp.where(trip_i > 0, c.det[0] + 1, c.det[0])
+                nonsti1 = jnp.where(
+                    trip_i > 0, 0, jnp.where(calm_i > 0, c.det[1] + 1, c.det[1])
+                )
+                iasti1 = jnp.where(
+                    calm_i * b2i(nonsti1 >= cfg.stiff_forgive) > 0, 0, iasti1
+                )
+                stiff_new = jnp.maximum(
+                    stiff_new, b2i(iasti1 >= cfg.stiff_streak)
+                )
+                det_new = (iasti1, nonsti1)
+            else:
+                det_new = ()
+
             # Kahan commit of t += h_eff on advancing lanes (kh/ks_sum above).
             tc_new = jnp.where(advance_i > 0, (ks_sum - t) - kh, c.t_c)
             t_new = jnp.where(advance_i > 0, ks_sum, t)
@@ -530,6 +585,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 reject=jnp.where(act_i > 0, reject_new, c.reject),
                 facold=facold_new,
                 stiff=stiff_acc,
+                det=det_new,
                 n_acc=c.n_acc + advance_i,
                 n_rej=c.n_rej + rejected_i,
                 n_att=n_att_new,
@@ -554,6 +610,11 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         hout_ref[0] = out.h
         # Row 1: PI facold, fed back as h0_ref row 3 by the window scan.
         hout_ref[1] = out.facold[0] if cfg.controller == "pi" else out.h * 0.0
+        # Rows 2/3: detector counters, fed back as h0_ref rows 4/5 (exact in
+        # f32: counts stay far below 2^24).
+        zf = out.h * 0.0
+        hout_ref[2] = out.det[0].astype(dtype) if cfg.stiff_detect else zf
+        hout_ref[3] = out.det[1].astype(dtype) if cfg.stiff_detect else zf
 
     return kernel
 
@@ -702,7 +763,7 @@ def _pallas_pipeline(
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
@@ -713,14 +774,14 @@ def _pallas_pipeline(
         ),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
         jax.ShapeDtypeStruct((4, r_total, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((2, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((4, r_total, LANES), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -746,7 +807,8 @@ def _pallas_pipeline(
              jnp.asarray(t_shift, jnp.float32)]
         )[None, :]
         h_pair = jnp.concatenate(
-            [h0_m, h0_m, jnp.zeros_like(h0_m), jnp.full_like(h0_m, 1e-4)], axis=0
+            [h0_m, h0_m, jnp.zeros_like(h0_m), jnp.full_like(h0_m, 1e-4),
+             jnp.zeros_like(h0_m), jnp.zeros_like(h0_m)], axis=0
         )
         yf, dense, stiff, stats, _ = call(
             bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m
@@ -787,12 +849,13 @@ def _pallas_pipeline(
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
 
         def wbody(carry, xs):
-            y_in, h_in, facold_in, stiff_acc, stats_acc, failed_acc = carry
+            y_in, h_in, facold_in, det_in, stiff_acc, stats_acc, failed_acc = carry
             qt_c, bnds = xs
             yf_w, dense_w, stiff_w, stats_w, h_out = call(
                 bnds[None], qt_c, qt_c, y_in,
                 jnp.concatenate(
-                    [h0_m, h_in, stiff_acc.astype(jnp.float32), facold_in], axis=0
+                    [h0_m, h_in, stiff_acc.astype(jnp.float32), facold_in, det_in],
+                    axis=0,
                 ),
                 p_m, f_m,
             )
@@ -800,6 +863,7 @@ def _pallas_pipeline(
                 yf_w,
                 h_out[0:1],
                 h_out[1:2],  # PI facold carried across windows (ADVICE r02)
+                h_out[2:4],  # Hairer detector counters, likewise carried
                 jnp.maximum(stiff_acc, stiff_w),
                 stats_acc + stats_w[:3],
                 jnp.maximum(failed_acc, stats_w[3:4]),
@@ -810,11 +874,12 @@ def _pallas_pipeline(
             y0_m,
             h0_m,
             jnp.full((1, r_total, LANES), 1e-4, jnp.float32),
+            jnp.zeros((2, r_total, LANES), jnp.float32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
             jnp.zeros((3, r_total, LANES), jnp.int32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
         )
-        (yf, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
+        (yf, _, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
             wbody, init, (qt_chunks, bounds_seq)
         )
         dense = dense_seq.reshape(n_w * q_chunk, n_eq, r_total, LANES)

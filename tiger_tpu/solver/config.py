@@ -42,6 +42,40 @@ class SolverConfig:
     # Set 5 for reference behavioral parity.
     max_rejects: int = 12
 
+    # Stability-boundary stiffness detection (Hairer & Wanner DOPRI5, vol II
+    # IV.2: the hlamb test).  The reference's detector only fires on
+    # REJECTIONS (streak, or h collapsing below span*min_step_fraction,
+    # rk45_kernel.cu:160-170) and misses "accept-cruisers": lanes whose step
+    # is pinned at the explicit stability boundary with the error estimate
+    # just under 1, so they accept tiny steps indefinitely and never reject —
+    # measured 16k attempts (30x the healthy median) on marginally-stiff
+    # Model-204 hillslopes, each dilating its whole SIMD tile.  Per accepted
+    # step, |h*lambda| is estimated from the two t+h stages
+    # (h*|k7-k6|/|g7-g6|, a Rayleigh quotient against the dominant
+    # eigenvalue); stiff_streak consecutive TESTED accepted steps beyond
+    # stiff_hlamb (DP5's negative-real-axis stability bound ~3.3) flag the
+    # lane for Radau, with stiff_forgive calm tested steps resetting the
+    # streak.  Testing happens every stiff_test_every-th accepted step
+    # (power of two; Hairer's NSTIFF, default 1000 in dopri5.f) — the
+    # cadence IS the economics: a lane must sustain the boundary for
+    # ~stiff_test_every*stiff_streak accepted steps before it flags, so
+    # lanes that finish in a few hundred steps never flag even if |h*lambda|
+    # is large (e.g. harmless positive/kink-bounded eigenvalues, a known
+    # false-positive class of the test), while a genuine grinder pinned at
+    # the boundary for 16k steps flags after ~1k.  Slope-cut attempts
+    # additionally trip the counter UNCADENCED: the slope-jump guard's
+    # absolute threshold sits orders of magnitude above healthy RHS
+    # magnitudes for every shipped model, so each cut is unambiguous
+    # stiffness evidence — and a throttling treadmill (h halved, step
+    # discarded: measured 63-67% of all attempts on marginally-stiff
+    # Model-204 hillslopes).  Applies to both RK45 paths identically;
+    # disabled under reference_parity (the reference has no such detector).
+    stiff_detect: bool = True
+    stiff_hlamb: float = 3.25
+    stiff_streak: int = 15
+    stiff_forgive: int = 6
+    stiff_test_every: int = 64
+
     # Step-shrink factor applied when the error norm is NaN (a stage produced
     # NaN/Inf).  CUDA's fmin(NaN, 1.0) == 1.0 leaves h unchanged in the
     # reference, so NaN steps re-reject at the same h until the stiffness
@@ -136,6 +170,7 @@ class SolverConfig:
             nan_shrink=1.0,
             max_rejects=5,
             radau_error_mode="reference",
+            stiff_detect=False,
         )
         base.update(overrides)
         return cls(**base)
@@ -153,3 +188,14 @@ class SolverConfig:
             raise ValueError(f"controller must be i|pi, got {self.controller!r}")
         if not 0.0 <= self.pi_beta <= 0.2:
             raise ValueError(f"pi_beta must be in [0, 0.2], got {self.pi_beta}")
+        if self.stiff_streak < 1 or self.stiff_forgive < 1:
+            raise ValueError("stiff_streak and stiff_forgive must be >= 1")
+        if not self.stiff_hlamb > 0.0:
+            raise ValueError(f"stiff_hlamb must be > 0, got {self.stiff_hlamb}")
+        e = self.stiff_test_every
+        if e < 1 or (e & (e - 1)) != 0:
+            # Power of two: the kernel tests cadence with a bitwise AND
+            # (integer mod lowers poorly on the TPU vector unit).
+            raise ValueError(
+                f"stiff_test_every must be a power of two, got {e}"
+            )

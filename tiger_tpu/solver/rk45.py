@@ -20,8 +20,12 @@ Numerics reproduced exactly (see SURVEY.md section 2.2):
   - last step clamped to land exactly on tf (rk45_kernel.cu:54);
   - slope-jump guard after an accepted error test: if max_i|k0_i - k1_i| > 100
     halve h (floor initialStep * 1e-6) and retry (rk45_kernel.cu:131-136);
-  - stiffness flag: > 5 consecutive rejections OR h < (tf-t0) * 1e-6; the
-    system is abandoned for the Radau pass (rk45_kernel.cu:160-170);
+  - stiffness flag: > max_rejects consecutive rejections OR h < (tf-t0) * 1e-6;
+    the system is abandoned for the Radau pass (rk45_kernel.cu:160-170).
+    Additionally (non-parity, SolverConfig.stiff_detect) Hairer's DOPRI5
+    stability-boundary test flags "accept-cruisers" the reference's
+    reject-only criteria miss — lanes pinned at the explicit stability limit
+    that accept tiny steps indefinitely without ever rejecting;
   - forcing sampled once per attempted step at step-start t, frozen across all
     7 stages (rk45_kernel.cu:84-116);
   - dense output: quartic DP interpolant fills all sorted query times in
@@ -66,19 +70,28 @@ def dp_step(rhs_t, t, y, h, k0, rtol, atol):
     """One attempted Dormand-Prince 5(4) step for a single system.
 
     ``rhs_t(t, y) -> dy`` already closes over spatial params and the frozen
-    forcing values.  Returns (y_out, err_norm, k[7, N]).  Mirrors
+    forcing values.  Returns (y_out, err_norm, k[7, N], hlamb).  Mirrors
     rk45_step_dense.cuh:34-145 (stages, 5th-order update, inf-norm error).
+
+    ``hlamb`` is Hairer's |h*lambda| estimate from the two t+h stages
+    (DOPRI5 stiffness test, H&W vol II IV.2): both stage 6 and stage 7
+    evaluate the RHS at t+h, so h*|k7-k6|/|g7-g6| is a Rayleigh-quotient
+    estimate of |h*lambda| for the dominant eigenvalue (0 when the stage
+    arguments coincide).  Consumed by SolverConfig.stiff_detect.
     """
     dtype = y.dtype
     a = tableau.DP_A
     c = tableau.DP_C
     ks = [k0]
+    g6 = y
     for s in range(1, 7):
         acc = y
         for j in range(s):
             if a[s, j] != 0.0:
                 # float(): weak-typed constants so f32 states stay f32 under x64.
                 acc = acc + (h * float(a[s, j])) * ks[j]
+        if s == 5:
+            g6 = acc  # stage-6 argument (the other t+h evaluation point)
         ks.append(rhs_t(t + float(c[s]) * h, acc))
     k = jnp.stack(ks)  # [7, N]
 
@@ -88,7 +101,11 @@ def dp_step(rhs_t, t, y, h, k0, rtol, atol):
     y_err = h * jnp.tensordot(e, k, 1)
     tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
     err = jnp.max(jnp.abs(y_err / tol))
-    return y_out, err, k
+    # DP's a7-row == b-row, so the stage-7 argument is exactly y_out.
+    stnum = jnp.max(jnp.abs(k[6] - k[5]))
+    stden = jnp.max(jnp.abs(y_out - g6))
+    hlamb = jnp.where(stden > 0, h * stnum / stden, jnp.zeros((), dtype))
+    return y_out, err, k, hlamb
 
 
 def dp_dense(y, k, h, theta):
@@ -118,6 +135,8 @@ class _Carry(NamedTuple):
     n_att: jax.Array
     facold: jax.Array  # last accepted error norm (Lund stabilization state;
     #                    carried but unused under controller='i')
+    iasti: jax.Array  # consecutive accepted steps with hlamb > stiff_hlamb
+    nonsti: jax.Array  # calm accepted steps since the last trip (forgiveness)
     dense: jax.Array
 
 
@@ -210,6 +229,8 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         n_rej=jnp.zeros((), i32),
         n_att=jnp.zeros((), i32),
         facold=jnp.asarray(1e-4, dtype),
+        iasti=jnp.zeros((), i32),
+        nonsti=jnp.zeros((), i32),
         dense=dense0,
     )
 
@@ -225,7 +246,9 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             return rhs(tt, yy, f_vals)
 
         k0 = rhs_t(c.t, c.y)
-        y_next, err, k = dp_step(rhs_t, c.t, c.y, h_eff, k0, cfg.rtol, cfg.atol)
+        y_next, err, k, hlamb = dp_step(
+            rhs_t, c.t, c.y, h_eff, k0, cfg.rtol, cfg.atol
+        )
 
         accept = err <= 1.0  # NaN err => False, as in CUDA
         jump = jnp.max(jnp.abs(k[0] - k[1])) > cfg.slope_jump_thresh
@@ -281,6 +304,36 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             (reject_new > cfg.max_rejects) | (h_new < span * cfg.min_step_fraction)
         )
 
+        if cfg.stiff_detect:
+            # Hairer stability-boundary detector (see SolverConfig.stiff_*).
+            # Two trip sources:
+            #  - every stiff_test_every-th COMMITTED step whose |h*lambda|
+            #    estimate exceeds the DP5 stability bound (cadenced, so
+            #    lanes that finish cheaply never accumulate a streak);
+            #  - every slope-cut attempt, UNCADENCED: the slope-jump guard's
+            #    absolute threshold (reference units, rk45_kernel.cu:131) is
+            #    orders of magnitude above healthy RHS magnitudes and fires
+            #    only when the RHS is stiff-mode-dominated, so each cut is
+            #    unambiguous stiffness evidence — and a throttling treadmill
+            #    (h halved, step discarded; measured 63-67% of all attempts
+            #    on marginally-stiff Model-204 lanes, 5x their useful work).
+            n_acc_new = c.n_acc + advance.astype(i32)
+            tested = advance & (
+                (n_acc_new & (cfg.stiff_test_every - 1)) == 0
+            )
+            trip = slope_cut | (tested & (hlamb > cfg.stiff_hlamb))
+            calm = tested & ~(hlamb > cfg.stiff_hlamb)
+            iasti_new = jnp.where(trip, c.iasti + 1, c.iasti)
+            nonsti_new = jnp.where(
+                trip, 0, jnp.where(calm, c.nonsti + 1, c.nonsti)
+            )
+            iasti_new = jnp.where(
+                calm & (nonsti_new >= cfg.stiff_forgive), 0, iasti_new
+            )
+            stiff_new = stiff_new | (iasti_new >= cfg.stiff_streak)
+        else:
+            iasti_new, nonsti_new = c.iasti, c.nonsti
+
         return _Carry(
             t=jnp.where(advance, c.t + h_eff, c.t),
             h=h_new,
@@ -293,6 +346,8 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             n_rej=c.n_rej + (~accept).astype(i32),
             n_att=c.n_att + 1,
             facold=facold_new,
+            iasti=iasti_new,
+            nonsti=nonsti_new,
             dense=dense,
         )
 
