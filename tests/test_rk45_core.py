@@ -29,7 +29,7 @@ def test_single_step_matches_scipy_rk_step():
 
     model = DummyModel()
     rhs_t = lambda tt, yy: model.rhs(tt, yy, None, None)
-    y_out, err, k, _ = dp_step(rhs_t, jnp.float64(t), jnp.asarray(y0), jnp.float64(h), jnp.asarray(f0), 1e-6, 1e-9)
+    y_out, err, k, _, _ = dp_step(rhs_t, jnp.float64(t), jnp.asarray(y0), jnp.float64(h), jnp.asarray(f0), 1e-6, 1e-9)
     np.testing.assert_allclose(np.asarray(y_out), y_sp, rtol=1e-14, atol=1e-15)
     # Stage slopes must agree too.
     np.testing.assert_allclose(np.asarray(k)[:6], solver.K[:6], rtol=1e-13, atol=1e-14)
@@ -49,7 +49,7 @@ def test_dense_interpolant_matches_scipy_dense():
     rhs_t = lambda tt, yy: model.rhs(tt, yy, None, None)
     y_lo = seg(t_lo)
     f0 = _np_rhs(t_lo, y_lo)
-    _, _, k, _ = dp_step(rhs_t, jnp.float64(t_lo), jnp.asarray(y_lo), jnp.float64(h), jnp.asarray(f0), 1e-6, 1e-9)
+    _, _, k, _, _ = dp_step(rhs_t, jnp.float64(t_lo), jnp.asarray(y_lo), jnp.float64(h), jnp.asarray(f0), 1e-6, 1e-9)
     thetas = np.linspace(0.05, 1.0, 7)
     ours = np.asarray(dp_dense(jnp.asarray(y_lo), k, jnp.float64(h), jnp.asarray(thetas)))
     theirs = seg(t_lo + thetas * h).T

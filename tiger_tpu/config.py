@@ -111,6 +111,13 @@ class OutputInfo:
     # the dense output CF-style (ERA5 convention, per-state scale/offset,
     # quantized on device) — 4x fewer bytes than f64 on wire and disk.
     precision: Optional[str] = None  # None | "f32" | "f64" | "i16"
+    # Declared per-state packing ranges for STREAMED (chunked) i16 output:
+    # {state_id: [min, max], ...}.  Windowed runs cannot derive global
+    # ranges from data they have not solved yet, so the CF scale/offset come
+    # from here (constant over the record; out-of-range values saturate at
+    # the range edge).  Unchunked i16 runs ignore this and derive exact
+    # ranges from the data.
+    i16_ranges: Optional[dict] = None
     # Also write the routed discharge hydrograph (downstream-accumulated link
     # outflow over the next_stream topology) as discharge_<prefix>_rank_N.nc.
     routed_discharge: bool = False
@@ -133,7 +140,10 @@ class SolverInfo:
     initial_step: Optional[float] = None
     # 'f64' matches the reference (double everywhere); 'f32' is the TPU
     # performance path (pair it with rtol >= ~1e-5: tolerances below f32
-    # rounding make every step reject).
+    # rounding accumulate past them); 'f32c' is f32 with compensated (Kahan)
+    # state accumulation — the tight-tolerance TPU path, which holds the
+    # reference's own rtol 1e-6 / atol 1e-9 at full kernel speed
+    # (SolverConfig.compensated).
     precision: str = "f64"
     # Kernel-resident forcing precision (SolverConfig.forcing_dtype):
     # 'bf16' halves the forcing VMEM footprint when long windows would
@@ -191,6 +201,7 @@ class SimulationConfig:
             forcing_dtype=self.solver.forcing_precision,
             controller=self.solver.controller,
             pi_beta=self.solver.pi_beta,
+            compensated=self.solver.precision == "f32c",
         )
 
 
@@ -268,6 +279,9 @@ def load_config(path: str) -> SimulationConfig:
             compression_level=int(o.get("compression_level", 0)),
             format=str(o.get("format", "netcdf")),
             precision=(None if o.get("precision") is None else str(o["precision"])),
+            i16_ranges=(
+                None if o.get("i16_ranges") is None else dict(o["i16_ranges"])
+            ),
             routed_discharge=bool(o.get("routed_discharge", False)),
             checkpoint_interval=(
                 None if o.get("checkpoint_interval") is None
@@ -280,6 +294,28 @@ def load_config(path: str) -> SimulationConfig:
             raise ValueError(
                 f"output.precision must be f32|f64|i16, got {cfg.output.precision!r}"
             )
+        if cfg.output.i16_ranges is not None:
+            if cfg.output.precision != "i16":
+                raise ValueError(
+                    "output.i16_ranges only applies with output.precision: i16"
+                )
+            fixed = {}
+            for k, v in cfg.output.i16_ranges.items():
+                try:
+                    sid = int(k)
+                    lo, hi = (float(v[0]), float(v[1]))
+                except (TypeError, ValueError, IndexError):
+                    raise ValueError(
+                        f"output.i16_ranges entries must be state_id: "
+                        f"[min, max]; got {k!r}: {v!r}"
+                    )
+                if not (lo < hi) or not (np.isfinite(lo) and np.isfinite(hi)):
+                    raise ValueError(
+                        f"output.i16_ranges[{sid}] needs finite min < max, "
+                        f"got [{lo}, {hi}]"
+                    )
+                fixed[sid] = (lo, hi)
+            cfg.output.i16_ranges = fixed
         parse_interval_minutes(cfg.output.print_interval)  # validate
     if s := doc.get("solver"):
         tol = s.get("tolerances") or {}
@@ -302,8 +338,10 @@ def load_config(path: str) -> SimulationConfig:
                 "engine is the RK45+Radau hybrid — stiff systems are routed "
                 "to Radau automatically, there is no all-Radau mode"
             )
-        if cfg.solver.precision not in ("f64", "f32"):
-            raise ValueError(f"solver.precision must be f64|f32, got {cfg.solver.precision}")
+        if cfg.solver.precision not in ("f64", "f32", "f32c"):
+            raise ValueError(
+                f"solver.precision must be f64|f32|f32c, got {cfg.solver.precision}"
+            )
         if cfg.solver.forcing_precision not in ("f32", "bf16"):
             raise ValueError(
                 f"solver.forcing_precision must be f32|bf16, got "
@@ -322,9 +360,10 @@ def load_config(path: str) -> SimulationConfig:
 
             warnings.warn(
                 f"solver.precision f32 with rtol={cfg.solver.rtol:g}: tolerances "
-                "below ~1e-5 are at float32 rounding level — steps will reject "
-                "on noise and systems get flagged stiff.  Raise rtol (>=1e-5) "
-                "or use precision f64.",
+                "below ~1e-5 are at float32 rounding level — the trajectory "
+                "accumulation rounds past them.  Raise rtol (>=1e-5), use "
+                "precision f32c (compensated f32: holds these tolerances at "
+                "kernel speed), or f64.",
                 stacklevel=2,
             )
     if p := doc.get("mpi") or doc.get("parallel"):

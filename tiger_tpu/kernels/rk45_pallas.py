@@ -161,6 +161,8 @@ class _Carry(NamedTuple):
     stiff: jax.Array  # (R, 128) int32 (0/1: Mosaic rejects i1 vector carries)
     det: tuple  # Hairer stiffness-detector counters (iasti, nonsti) as
     #             (R, 128) i32 pairs; empty tuple when cfg.stiff_detect off
+    y_c: tuple  # Kahan compensation of y, N_EQ arrays of (R, 128); empty
+    #             tuple unless cfg.compensated (tight-tolerance f32 path)
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
@@ -293,6 +295,12 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 if cfg.stiff_detect
                 else ()
             ),
+            # rows 6..6+N = Kahan y compensation, carried across windows.
+            y_c=(
+                tuple(h0_ref[6 + i] + vz for i in range(n_eq))
+                if cfg.compensated
+                else ()
+            ),
             n_acc=vzi,
             n_rej=vzi,
             n_att=vzi,
@@ -357,15 +365,26 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                     g6 = tuple(acc)
                 ks.append(rhs(t + float(dp_c[s]) * h_eff, tuple(acc), f_vals))
 
-            y_out = list(y)
             err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+            if cfg.compensated:
+                # dy accumulated separately (matching the vmap path's
+                # tensordot-then-add) so the Kahan commit below sees the
+                # exact addend; y_out = y + dy drives the error test.
+                dys = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+            else:
+                y_out = list(y)
             for s in range(7):
                 if dp_b[s] != 0.0:
                     w = float(dp_b[s])
-                    y_out = [y_out[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
+                    if cfg.compensated:
+                        dys = [dys[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
+                    else:
+                        y_out = [y_out[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
                 if dp_e[s] != 0.0:
                     w = float(dp_e[s])
                     err_c = [err_c[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
+            if cfg.compensated:
+                y_out = [y[i] + dys[i] for i in range(n_eq)]
             err = jnp.zeros(shp, dtype)
             for i in range(n_eq):
                 tol = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))
@@ -573,19 +592,38 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 k0_new = tuple(k0_scr[i] for i in range(n_eq))
             else:
                 k0_new = ()
+            if cfg.compensated:
+                # Kahan commit (mirror of solver/rk45.py): the carried low
+                # word folds back into the addend; the error test above used
+                # the plain y + dy.
+                khs = [dys[i] - c.y_c[i] for i in range(n_eq)]
+                y_kah = [y[i] + khs[i] for i in range(n_eq)]
+                y_next = tuple(
+                    jnp.where(advance_i > 0, y_kah[i], y[i]) for i in range(n_eq)
+                )
+                y_c_new = tuple(
+                    jnp.where(
+                        advance_i > 0, (y_kah[i] - y[i]) - khs[i], c.y_c[i]
+                    )
+                    for i in range(n_eq)
+                )
+            else:
+                y_next = tuple(
+                    jnp.where(advance_i > 0, y_out[i], y[i]) for i in range(n_eq)
+                )
+                y_c_new = ()
             return _Carry(
                 alive=jnp.max(still_i),
                 t=t_new,
                 t_c=tc_new,
                 h=jnp.where(act_i > 0, h_new, c.h),
-                y=tuple(
-                    jnp.where(advance_i > 0, y_out[i], y[i]) for i in range(n_eq)
-                ),
+                y=y_next,
                 k0=k0_new,
                 reject=jnp.where(act_i > 0, reject_new, c.reject),
                 facold=facold_new,
                 stiff=stiff_acc,
                 det=det_new,
+                y_c=y_c_new,
                 n_acc=c.n_acc + advance_i,
                 n_rej=c.n_rej + rejected_i,
                 n_att=n_att_new,
@@ -615,6 +653,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         zf = out.h * 0.0
         hout_ref[2] = out.det[0].astype(dtype) if cfg.stiff_detect else zf
         hout_ref[3] = out.det[1].astype(dtype) if cfg.stiff_detect else zf
+        # Rows 4..4+N: Kahan y compensation, fed back as h0_ref rows 6..6+N.
+        if cfg.compensated:
+            for i in range(n_eq):
+                hout_ref[4 + i] = out.y_c[i]
 
     return kernel
 
@@ -722,8 +764,12 @@ def _pallas_pipeline(
     f_bytes = 2 if config.forcing_dtype == "bf16" else 4
     # Biggest tile first, windowing the dense buffer (lax.scan over query
     # sub-intervals, carrying y and h) when that's what VMEM demands.
+    # (Compensated mode's N_EQ extra y_c carries fit inside the ~74-value
+    # per-lane slack the planner already budgets.)
     tile_rows, q_chunk = _plan_tiles(s_count, q_total, n_eq, t_forc, n_par, f_bytes)
     tile = tile_rows * LANES
+    n_hrows = 6 + (n_eq if config.compensated else 0)
+    n_orows = 4 + (n_eq if config.compensated else 0)
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
     s_pad = ((s_count + tile - 1) // tile) * tile
@@ -763,7 +809,7 @@ def _pallas_pipeline(
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((n_eq, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((6, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_hrows, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((p_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((f_m.shape[0], tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
@@ -774,14 +820,14 @@ def _pallas_pipeline(
         ),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_orows, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
         jax.ShapeDtypeStruct((4, r_total, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((4, r_total, LANES), jnp.float32),
+        jax.ShapeDtypeStruct((n_orows, r_total, LANES), jnp.float32),
     ]
 
     call = pl.pallas_call(
@@ -807,8 +853,9 @@ def _pallas_pipeline(
              jnp.asarray(t_shift, jnp.float32)]
         )[None, :]
         h_pair = jnp.concatenate(
-            [h0_m, h0_m, jnp.zeros_like(h0_m), jnp.full_like(h0_m, 1e-4),
-             jnp.zeros_like(h0_m), jnp.zeros_like(h0_m)], axis=0
+            [h0_m, h0_m, jnp.zeros_like(h0_m), jnp.full_like(h0_m, 1e-4)]
+            + [jnp.zeros_like(h0_m)] * (n_hrows - 4),
+            axis=0,
         )
         yf, dense, stiff, stats, _ = call(
             bounds, qt_m, qt_m, y0_m, h_pair, p_m, f_m
@@ -849,12 +896,13 @@ def _pallas_pipeline(
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
 
         def wbody(carry, xs):
-            y_in, h_in, facold_in, det_in, stiff_acc, stats_acc, failed_acc = carry
+            y_in, h_in, facold_in, det_in, yc_in, stiff_acc, stats_acc, failed_acc = carry
             qt_c, bnds = xs
             yf_w, dense_w, stiff_w, stats_w, h_out = call(
                 bnds[None], qt_c, qt_c, y_in,
                 jnp.concatenate(
-                    [h0_m, h_in, stiff_acc.astype(jnp.float32), facold_in, det_in],
+                    [h0_m, h_in, stiff_acc.astype(jnp.float32), facold_in,
+                     det_in, yc_in],
                     axis=0,
                 ),
                 p_m, f_m,
@@ -864,6 +912,7 @@ def _pallas_pipeline(
                 h_out[0:1],
                 h_out[1:2],  # PI facold carried across windows (ADVICE r02)
                 h_out[2:4],  # Hairer detector counters, likewise carried
+                h_out[4:n_orows],  # Kahan y compensation, likewise carried
                 jnp.maximum(stiff_acc, stiff_w),
                 stats_acc + stats_w[:3],
                 jnp.maximum(failed_acc, stats_w[3:4]),
@@ -875,11 +924,12 @@ def _pallas_pipeline(
             h0_m,
             jnp.full((1, r_total, LANES), 1e-4, jnp.float32),
             jnp.zeros((2, r_total, LANES), jnp.float32),
+            jnp.zeros((n_orows - 4, r_total, LANES), jnp.float32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
             jnp.zeros((3, r_total, LANES), jnp.int32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
         )
-        (yf, _, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
+        (yf, _, _, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
             wbody, init, (qt_chunks, bounds_seq)
         )
         dense = dense_seq.reshape(n_w * q_chunk, n_eq, r_total, LANES)

@@ -81,6 +81,24 @@ def _scatter_stats(
     return RadauStats(*out)
 
 
+def _host_pull(arr):
+    """``np.asarray`` that also works for non-addressable arrays (cross-
+    process GLOBAL mesh): reshards to fully-replicated first, after which
+    every process holds an identical full copy.  Only ever applied to the
+    stiff working set and its [S] masks — small by design (the reference
+    host-compacts the same subset, rk45_api.hpp:190-203); every process then
+    runs the identical stiff pipeline redundantly, so the SPMD merge below
+    sees the same replicated updates on every rank."""
+    if arr is None:
+        return None
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(arr.sharding.mesh, PartitionSpec())
+    return np.asarray(jax.jit(lambda x: x, out_shardings=rep)(arr))
+
+
 def _bucket(n: int) -> int:
     """Round up to a power of two (min 8) so Radau recompiles O(log S) times."""
     b = 8
@@ -256,16 +274,11 @@ def solve(
     n_stiff = int(jnp.sum(rk.stiff))
     _phase_mark("stiff_count_sync", t_ph)
     n_stiff_flagged = n_stiff
-    if n_stiff and not getattr(rk.stiff, "is_fully_addressable", True):
-        # A cross-process global mesh makes the host compaction below
-        # impossible (np.asarray on non-addressable shards).  The supported
-        # multi-process layout is per-process LOCAL meshes over local row
-        # slices (tiger_tpu.run), where everything stays addressable.
-        raise NotImplementedError(
-            "stiff systems under a cross-process global mesh: shard rows per "
-            "process and solve on a local mesh instead (see tiger_tpu.run)"
-        )
-    stiff_mask = np.asarray(rk.stiff) if n_stiff else np.zeros(s_count, bool)
+    # Cross-process GLOBAL mesh: host compaction works through _host_pull
+    # (replicate-then-read); the per-process stiff pipeline runs redundantly
+    # with identical inputs, and the jitted merges see replicated updates.
+    glob = bool(n_stiff) and not getattr(rk.stiff, "is_fully_addressable", True)
+    stiff_mask = _host_pull(rk.stiff) if n_stiff else np.zeros(s_count, bool)
     y_final, dense = rk.y_final, rk.dense
     failed = rk.failed
     radau_stats = None
@@ -302,15 +315,16 @@ def solve(
             None if forcings is None else forcings.data,
             jnp.asarray(pad0),
         )
-        if mesh is not None:
+        if mesh is not None or not getattr(y0_sub, "is_fully_addressable", True):
             # Mesh runs: the gather output is committed across the mesh
             # devices; the (single-device) Radau pallas_call and the merge
-            # need it compacted to one device — mirror the CPU pipeline's
-            # host compaction (all shards are addressable per the mesh
-            # layout contract enforced above).
-            dev0 = jax.devices()[0]
+            # need it compacted to one LOCAL device — mirror the CPU
+            # pipeline's host compaction.  Under a cross-process global mesh
+            # _host_pull replicates the (small) subset to every process,
+            # which then runs the identical rung on its own device.
+            dev0 = jax.local_devices()[0]
             compact = lambda a: None if a is None else jax.device_put(
-                np.asarray(a), dev0
+                _host_pull(a), dev0
             )
             y0_sub, h0_sub, forc_sub = (
                 compact(y0_sub), compact(h0_sub), compact(forc_sub)
@@ -341,8 +355,14 @@ def solve(
             rel_p = np.concatenate([ok_rel, np.zeros(b - len(ok_rel), ok_rel.dtype)])
             rows_p = np.full(b, s_count, np.int32)  # sentinel rows -> dropped
             rows_p[: len(ok_rel)] = idx0[ok_rel]
+            # Global mesh: the rung results are committed to THIS process's
+            # device — hand the jitted SPMD merge host copies (identical on
+            # every process) instead of mixing committed single-device
+            # arrays into a global-mesh program.
+            y_src = np.asarray(rdk.y_final) if glob else rdk.y_final
+            d_src = np.asarray(rdk.dense) if glob else rdk.dense
             y_final, dense, failed = _merge_gather_apply(
-                y_final, dense, failed, rows_p, rdk.y_final, rdk.dense, rel_p
+                y_final, dense, failed, rows_p, y_src, d_src, rel_p
             )
         # Per-lane counters for EVERY flagged lane (including ones whose
         # kernel attempt failed and falls through to the CPU retry below).
@@ -363,8 +383,10 @@ def solve(
         # solves, and XLA-on-TPU is fragile for the nested-while + batched
         # 15x15 linear-solve program at scale.
         out_dtype = y0.dtype
-        on_accel = next(iter(y0.devices())).platform != "cpu"
-        cpu = jax.devices("cpu")[0] if on_accel else None
+        # Global-mesh runs take the pull-to-host route even on CPU: their
+        # arrays are not addressable in place.
+        on_accel = next(iter(y0.devices())).platform != "cpu" or glob
+        cpu = jax.local_devices(backend="cpu")[0] if on_accel else None
         # Give the CPU retry/Radau real float64 even when the process-level
         # x64 flag is off (the usual case for f32 TPU runs).
         import contextlib
@@ -395,12 +417,15 @@ def solve(
             if on_accel:
                 # One jitted gather + one host transfer for the whole working
                 # set (the per-field eager takes cost ~1 s/run at 1M systems).
-                y0_np, h0_np, params_np, forc_np = jax.device_get(
-                    _gather_subset_jit(
-                        y0, rk.h0, params,
-                        None if forcings is None else forcings.data,
-                        pad_idx,
-                    )
+                gathered = _gather_subset_jit(
+                    y0, rk.h0, params,
+                    None if forcings is None else forcings.data,
+                    pad_idx,
+                )
+                y0_np, h0_np, params_np, forc_np = (
+                    jax.tree.map(_host_pull, gathered)
+                    if glob
+                    else jax.device_get(gathered)
                 )
                 put64 = lambda a: jax.device_put(np.asarray(a, np.float64), cpu)
                 y0_sub = put64(y0_np)

@@ -147,6 +147,20 @@ class SolverConfig:
     # optimization.  Pallas kernel path only.
     fsal: bool = False
 
+    # Compensated (Kahan) float32 state accumulation — the tight-tolerance
+    # TPU path.  Plain f32 cannot hold the reference's artifact tolerances
+    # (rtol 1e-6 / atol 1e-9, src/main.cpp:621): each committed y += dy
+    # rounds at ~6e-8*|y|, and over the ~2k steps of a 2-day run that
+    # random-walks past the tolerance, so steps reject at the rounding floor.
+    # With compensation the commit is exact to the low word (the same
+    # TwoSum pattern the kernel already uses for t): carry c holds the lost
+    # bits, kh = dy - c; y' = y + kh; c' = (y' - y) - kh.  Stage math stays
+    # f32 (VPU speed) — its per-stage noise lands in the CONTROLLED error
+    # estimate, not the trajectory accumulation.  Applies to both RK45
+    # paths; mutually exclusive with fsal (the FSAL carry's bit-identity
+    # argument relies on the uncompensated a7-row == b-row accumulation).
+    compensated: bool = False
+
     # True: dense rows for query times <= t0 are prefilled with y0 (sane
     # default).  False: reference parity — such rows keep their zero
     # initialization because the CUDA kernel only fills queries strictly
@@ -192,6 +206,11 @@ class SolverConfig:
             raise ValueError("stiff_streak and stiff_forgive must be >= 1")
         if not self.stiff_hlamb > 0.0:
             raise ValueError(f"stiff_hlamb must be > 0, got {self.stiff_hlamb}")
+        if self.compensated and self.fsal:
+            raise ValueError(
+                "compensated and fsal are mutually exclusive (FSAL's carry "
+                "identity relies on the uncompensated b-row accumulation)"
+            )
         e = self.stiff_test_every
         if e < 1 or (e & (e - 1)) != 0:
             # Power of two: the kernel tests cadence with a bitwise AND

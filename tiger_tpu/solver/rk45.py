@@ -97,7 +97,8 @@ def dp_step(rhs_t, t, y, h, k0, rtol, atol):
 
     b = jnp.asarray(tableau.DP_B, dtype)
     e = jnp.asarray(tableau.DP_E, dtype)
-    y_out = y + h * jnp.tensordot(b, k, 1)
+    dy = h * jnp.tensordot(b, k, 1)
+    y_out = y + dy
     y_err = h * jnp.tensordot(e, k, 1)
     tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
     err = jnp.max(jnp.abs(y_err / tol))
@@ -105,7 +106,10 @@ def dp_step(rhs_t, t, y, h, k0, rtol, atol):
     stnum = jnp.max(jnp.abs(k[6] - k[5]))
     stden = jnp.max(jnp.abs(y_out - g6))
     hlamb = jnp.where(stden > 0, h * stnum / stden, jnp.zeros((), dtype))
-    return y_out, err, k, hlamb
+    # ``dy`` is returned separately so compensated commits (cfg.compensated)
+    # can Kahan-accumulate it; y_out - y would lose exactly the bits the
+    # compensation exists to keep.
+    return y_out, err, k, hlamb, dy
 
 
 def dp_dense(y, k, h, theta):
@@ -137,6 +141,7 @@ class _Carry(NamedTuple):
     #                    carried but unused under controller='i')
     iasti: jax.Array  # consecutive accepted steps with hlamb > stiff_hlamb
     nonsti: jax.Array  # calm accepted steps since the last trip (forgiveness)
+    y_c: jax.Array  # Kahan compensation of y (zeros unless cfg.compensated)
     dense: jax.Array
 
 
@@ -231,6 +236,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         facold=jnp.asarray(1e-4, dtype),
         iasti=jnp.zeros((), i32),
         nonsti=jnp.zeros((), i32),
+        y_c=jnp.zeros_like(y0),
         dense=dense0,
     )
 
@@ -246,9 +252,18 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             return rhs(tt, yy, f_vals)
 
         k0 = rhs_t(c.t, c.y)
-        y_next, err, k, hlamb = dp_step(
+        y_next, err, k, hlamb, dy = dp_step(
             rhs_t, c.t, c.y, h_eff, k0, cfg.rtol, cfg.atol
         )
+        if cfg.compensated:
+            # Kahan commit (see SolverConfig.compensated): the error test
+            # above used the plain y + dy; the committed state additionally
+            # folds the carried low bits back in.
+            kh = dy - c.y_c
+            y_next = c.y + kh
+            y_c_new = (y_next - c.y) - kh
+        else:
+            y_c_new = c.y_c
 
         accept = err <= 1.0  # NaN err => False, as in CUDA
         jump = jnp.max(jnp.abs(k[0] - k[1])) > cfg.slope_jump_thresh
@@ -348,6 +363,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             facold=facold_new,
             iasti=iasti_new,
             nonsti=nonsti_new,
+            y_c=jnp.where(advance, y_c_new, c.y_c),
             dense=dense,
         )
 
