@@ -63,6 +63,7 @@ def solve_chunked(
     mesh=None,
     backend: str = "auto",
     topology=None,
+    routed_fn=None,
     dense_sink=None,
     state_sink=None,
 ):
@@ -79,6 +80,12 @@ def solve_chunked(
     solve of window k+1 (the BASELINE north-star "routing exchange overlapped
     with step compute").  Returns (SolveResult, routed [S, Q]) in that case,
     else just the SolveResult.
+
+    ``routed_fn(dense_w) -> [S_local, Q_w]`` replaces the local-topology
+    routing when given (multi-process runs: run.py wires a per-window
+    cross-rank allgather + full-topology accumulation here, since downstream
+    links cross rank boundaries).  It may block on a collective — every rank
+    reaches the call once per window, in window order.
 
     ``dense_sink(q0, qt_abs, dense_w, routed_w)`` — when given, each window's
     dense block (and routed block, if topology is set) is handed off instead
@@ -208,7 +215,15 @@ def solve_chunked(
             )
             if qt is not None:
                 routed_w = None
-                if topology is not None:
+                if routed_fn is not None:
+                    # Caller-supplied routing (e.g. run.py's cross-rank
+                    # per-window allgather + full-topology accumulation for
+                    # multi-process runs).  May block on a collective —
+                    # every rank reaches this point once per window.
+                    t_ph = _time.perf_counter()
+                    routed_w = routed_fn(res.dense)
+                    _phase_mark("window_routing_dispatch", t_ph)
+                elif topology is not None:
                     # Dispatch the routing exchange for THIS window now; do
                     # not block — it executes while the next window's forcing
                     # loads and its solve is traced/dispatched.
@@ -248,7 +263,7 @@ def solve_chunked(
         radau_stats=None,
         n_stiff=n_stiff_total,
     )
-    if topology is not None:
+    if topology is not None or routed_fn is not None:
         routed = (
             jnp.concatenate(all_routed, axis=1)
             if all_routed

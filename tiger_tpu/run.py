@@ -176,6 +176,7 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
         return _run_chunked(
             cfg, model, y0, t0, tf, query_times, model_params, specs,
             link_ids, sp, mesh, backend, metrics, dtype, resume_t=resume_t,
+            sp_full=sp_full, rows=rows,
         )
     t_solve = time.perf_counter()
     with metrics.phase("solve"):
@@ -246,44 +247,8 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
             from tiger_tpu.io.netcdf import NetCDFWriter
 
             if jax.process_count() > 1:
-                # Downstream links cross rank boundaries: accumulate on the
-                # FULL topology.  Each rank allgathers the (small) dense
-                # runoff and computes the global accumulation, then keeps its
-                # own rows — a local-slice topology would silently drop
-                # upstream contributions from other ranks at shard edges.
-                from jax.experimental import multihost_utils
-
-                from tiger_tpu.params import split_even
-
-                topo = routing.build_topology(
-                    sp_full["stream"], sp_full["next_stream"]
-                )
-                full_params = {
-                    k: jnp.asarray(v, dtype)
-                    for k, v in params_mod.model_params(sp_full).items()
-                }
-                # global_params broadcast like the local slice got (line 78):
-                # link_runoff needs the same fields on the full table.
-                for name, value in cfg.global_params.items():
-                    if name not in full_params:
-                        full_params[name] = jnp.full((s_total,), value, dtype)
-                slices = split_even(s_total, jax.process_count())
-                max_len = max(sl.stop - sl.start for sl in slices)
-                local = jnp.asarray(res.dense)
-                local = jnp.pad(
-                    local, ((0, max_len - n_sys), (0, 0), (0, 0))
-                )
-                gath = multihost_utils.process_allgather(local, tiled=True)
-                dense_full = jnp.concatenate(
-                    [
-                        gath[i * max_len : i * max_len + (sl.stop - sl.start)]
-                        for i, sl in enumerate(slices)
-                    ],
-                    axis=0,
-                )
-                q_routed = np.asarray(
-                    routing.routed_discharge(dense_full, full_params, topo)
-                )[rows]
+                routed_fn = _make_cross_rank_routed(cfg, sp_full, dtype, rows)
+                q_routed = np.asarray(routed_fn(res.dense))
             else:
                 topo = routing.build_topology(sp["stream"], sp["next_stream"])
                 q_routed = np.asarray(
@@ -315,9 +280,59 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
     }
 
 
+def _make_cross_rank_routed(cfg, sp_full, dtype, rows):
+    """Dense -> routed-discharge fn that is correct across rank boundaries.
+
+    Downstream links cross rank boundaries: each rank allgathers the (small)
+    dense runoff block, accumulates on the FULL topology, and keeps its own
+    rows — a local-slice topology would silently drop upstream contributions
+    from other ranks at shard edges.  Shared by the unchunked path and the
+    chunked per-window path (solve_chunked's ``routed_fn``); the topology,
+    full parameter table and slice plan are built ONCE, each call moves only
+    one window's dense block.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from tiger_tpu import params as params_mod
+    from tiger_tpu import routing
+    from tiger_tpu.params import split_even
+
+    topo = routing.build_topology(sp_full["stream"], sp_full["next_stream"])
+    s_total = params_mod.num_systems(sp_full)
+    full_params = {
+        k: jnp.asarray(v, dtype)
+        for k, v in params_mod.model_params(sp_full).items()
+    }
+    # global_params broadcast like the local slice got: link_runoff needs
+    # the same fields on the full table.
+    for name, value in cfg.global_params.items():
+        if name not in full_params:
+            full_params[name] = jnp.full((s_total,), value, dtype)
+    slices = split_even(s_total, jax.process_count())
+    max_len = max(sl.stop - sl.start for sl in slices)
+
+    def routed(dense_local):
+        local = jnp.asarray(dense_local)
+        local = jnp.pad(local, ((0, max_len - local.shape[0]), (0, 0), (0, 0)))
+        gath = multihost_utils.process_allgather(local, tiled=True)
+        dense_full = jnp.concatenate(
+            [
+                gath[i * max_len : i * max_len + (sl.stop - sl.start)]
+                for i, sl in enumerate(slices)
+            ],
+            axis=0,
+        )
+        return routing.routed_discharge(dense_full, full_params, topo)[rows]
+
+    return routed
+
+
 def _run_chunked(
     cfg, model, y0, t0, tf, query_times, model_params, specs,
     link_ids, sp, mesh, backend, metrics, dtype, resume_t=None,
+    sp_full=None, rows=None,
 ) -> dict:
     """Windowed (streaming) execution: ``time.chunk_days`` at a time.
 
@@ -348,12 +363,13 @@ def _run_chunked(
             "output.precision i16 needs global per-state ranges and cannot "
             "stream window by window; use f32/f64 (or solve unchunked)"
         )
+    # Multi-process routed discharge: per-window cross-rank allgather +
+    # accumulation on the FULL topology (the same machinery the unchunked
+    # path uses, applied window by window).  Built once; solve_chunked calls
+    # it per window in place of the local-topology routing.
+    routed_fn = None
     if cfg.output.routed_discharge and jax.process_count() > 1:
-        raise NotImplementedError(
-            "chunked + multi-process routed discharge: windows would need a "
-            "per-window cross-rank allgather; run routed output unchunked or "
-            "single-process"
-        )
+        routed_fn = _make_cross_rank_routed(cfg, sp_full, dtype, rows)
 
     interval = parse_interval_minutes(cfg.output.print_interval)
     chunk_minutes = cfg.time.chunk_days * 1440.0
@@ -377,7 +393,7 @@ def _run_chunked(
     )
 
     topo = None
-    if cfg.output.routed_discharge:
+    if cfg.output.routed_discharge and routed_fn is None:
         from tiger_tpu import routing
 
         topo = routing.build_topology(sp["stream"], sp["next_stream"])
@@ -411,7 +427,7 @@ def _run_chunked(
             )
         )
         disc_w = None
-        if topo is not None:
+        if topo is not None or routed_fn is not None:
             discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
             disc_w = stack.enter_context(
                 WindowedVarWriter(
@@ -469,9 +485,10 @@ def _run_chunked(
             model, y0, t_start, tf, chunk_minutes, loader,
             query_interval=interval, params=model_params,
             config=cfg.solver_config(), mesh=mesh, backend=backend,
-            topology=topo, dense_sink=sink, state_sink=state_cb,
+            topology=topo, routed_fn=routed_fn,
+            dense_sink=sink, state_sink=state_cb,
         )
-        if topo is not None:
+        if topo is not None or routed_fn is not None:
             res = res[0]
         jax.block_until_ready(res.y_final)
     metrics.record_solve(res, time.perf_counter() - t_solve)
