@@ -33,7 +33,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synthesize(base: str, s_count: int, days: int, chunk_days: float, seed: int = 0) -> str:
+#: Declared CF-packing ranges for the synthetic basin's states (generous:
+#: the stores stay well inside these for the seasonal forcing used here).
+I16_RANGES = "{0: [0.0, 1.0], 1: [0.0, 5.0], 2: [0.0, 0.1], 3: [0.0, 10.0], 4: [0.0, 2.0]}"
+
+
+def synthesize(base: str, s_count: int, days: int, chunk_days: float, seed: int = 0,
+               out_precision: str = "f32") -> str:
     """Year of seasonal forcing on a shared grid + tree-topology params."""
     from tiger_tpu.io import write_grid_forcing
 
@@ -125,6 +131,8 @@ output:
   path: "{base}/out"
   prefix: year
   routed_discharge: true
+  precision: {out_precision if out_precision != 'solve' else 'null'}
+  i16_ranges: {I16_RANGES if out_precision == 'i16' else 'null'}
 solver:
   method: RK45
   tolerances: {{rtol: 1.0e-5, atol: 1.0e-6, safety: 0.9, min_scale: 0.2, max_scale: 10.0}}
@@ -144,6 +152,12 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--keep", action="store_true")
     p.add_argument("--workdir", default=None)
+    p.add_argument(
+        "--out-precision", default="solve",
+        choices=["solve", "f32", "f64", "i16"],
+        help="dense NetCDF precision; i16 streams CF-packed output with the "
+        "declared I16_RANGES (4x smaller than f64 on wire and disk)",
+    )
     args = p.parse_args()
     if abs(args.chunk_days - round(args.chunk_days)) > 1e-9:
         # Daily t2m forcing makes only whole-day windows valid; fail BEFORE
@@ -162,7 +176,10 @@ def main() -> None:
     os.makedirs(base, exist_ok=True)
     try:
         t0 = time.perf_counter()
-        cfg_path = synthesize(base, args.systems, args.days, args.chunk_days)
+        cfg_path = synthesize(
+            base, args.systems, args.days, args.chunk_days,
+            out_precision=args.out_precision,
+        )
         setup_s = time.perf_counter() - t0
 
         from tiger_tpu.config import load_config
@@ -191,6 +208,7 @@ def main() -> None:
             "unit": "s",
             "systems": args.systems,
             "days": args.days,
+            "out_precision": args.out_precision,
             "n_windows": summary.get("n_windows"),
             "setup_s": round(setup_s, 3),
             "phases": {k: round(v, 3) for k, v in metrics.phases.items()},

@@ -447,3 +447,54 @@ def test_checkpoint_interval_rejects_offgrid_windows(tmp_path):
     cfg.output.path = str(tmp_path / "out")
     with pytest.raises(ValueError, match="multiple of"):
         run(cfg, use_mesh=False)
+
+
+def test_chunked_i16_packed_output(tmp_path):
+    """Streamed CF int16 dense output (output.precision i16 + declared
+    output.i16_ranges — previously refused for chunked runs): decoded values
+    match an f64 chunked run within half a quantization step, and the dense
+    payload is 4x smaller."""
+    import h5py
+
+    from tests.test_cli import make_scenario
+    from tiger_tpu.config import load_config
+    from tiger_tpu.run import run
+
+    sc = make_scenario(tmp_path)
+
+    def cfg_for(outdir, precision, ranges=None):
+        cfg = load_config(str(sc["cfg_path"]))
+        cfg.time.chunk_days = 1.0
+        cfg.output.path = str(tmp_path / outdir)
+        cfg.output.precision = precision
+        cfg.output.i16_ranges = ranges
+        return cfg
+
+    run(cfg_for("ref64", "f64"), use_mesh=False)
+    ranges = {0: (0.0, 0.05), 1: (0.0, 4.0), 2: (0.0, 0.01),
+              3: (0.0, 6.0), 4: (0.0, 1.0)}
+    run(cfg_for("i16", "i16", ranges), use_mesh=False)
+
+    with h5py.File(tmp_path / "ref64" / "dense_basin_rank_0.nc") as f:
+        ref = np.asarray(f["outputs"])
+        f64_bytes = f["outputs"].nbytes
+    i16_bytes = 0
+    with h5py.File(tmp_path / "i16" / "dense_basin_rank_0.nc") as f:
+        for v, (lo, hi) in ranges.items():
+            ds = f[f"outputs_{v}"]
+            assert ds.dtype == np.int16
+            i16_bytes += ds.nbytes
+            scale = ds.attrs["scale_factor"]
+            dec = np.asarray(ds) * scale + ds.attrs["add_offset"]
+            # Out-of-declared-range values saturate at the range edge.
+            exp = np.clip(ref[:, :, v], lo, hi)
+            assert np.abs(dec - exp).max() <= 0.75 * scale, (v, scale)
+    assert i16_bytes * 4 == f64_bytes
+
+    # Validation: chunked i16 without declared ranges is refused with a
+    # pointer at i16_ranges; a range missing an output state is refused too.
+    with pytest.raises(ValueError, match="i16_ranges"):
+        run(cfg_for("bad", "i16", None), use_mesh=False)
+    partial = {k: v for k, v in ranges.items() if k != 3}
+    with pytest.raises(ValueError, match="missing output states"):
+        run(cfg_for("bad2", "i16", partial), use_mesh=False)

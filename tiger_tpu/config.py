@@ -309,7 +309,9 @@ def load_config(path: str) -> SimulationConfig:
                         f"output.i16_ranges entries must be state_id: "
                         f"[min, max]; got {k!r}: {v!r}"
                     )
-                if not (lo < hi) or not (np.isfinite(lo) and np.isfinite(hi)):
+                import math
+
+                if not (lo < hi) or not (math.isfinite(lo) and math.isfinite(hi)):
                     raise ValueError(
                         f"output.i16_ranges[{sid}] needs finite min < max, "
                         f"got [{lo}, {hi}]"

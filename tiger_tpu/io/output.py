@@ -166,6 +166,164 @@ def write_dense_netcdf_packed(
             )
 
 
+def _pack_cf_int16_declared(dense, scale, offset):
+    """Device-side CF quantization with DECLARED per-state scale/offset.
+
+    The streaming variant of _pack_cf_int16: windowed runs cannot derive
+    global ranges from data they have not solved yet, so the ranges come
+    from config (output.i16_ranges) and the scale/offset are constants for
+    the whole record.  Values outside the declared range saturate at the
+    code limits (the CF decode then reads the range edge); non-finite
+    samples map to the fill value -32767.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(dense, jnp.float32)
+    finite = jnp.isfinite(x)
+    q = jnp.clip(jnp.round((x - offset) / scale), -32766.0, 32766.0)
+    return jnp.where(finite, q.astype(jnp.int16), jnp.int16(-32767))
+
+
+class WindowedPackedWriter:
+    """Incremental CF int16-packed dense writer for windowed (chunked) runs.
+
+    Streaming counterpart of write_dense_netcdf_packed: one ``outputs_<id>``
+    int16 variable per output state with config-declared scale/offset
+    (output.i16_ranges), filled time-slice by time-slice.  Quantization runs
+    jitted on the solve device, so the host pull moves 2 bytes per sample —
+    4x less than the reference's f64 ``outputs`` (output_series.cpp:18-72)
+    over both the interconnect and disk.  Same write/flush/close discipline
+    as WindowedVarWriter (one window in flight on a worker thread).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        link_ids: np.ndarray,  # [S]
+        query_times: np.ndarray,  # [Q_total] minutes
+        state_ids: np.ndarray,
+        ranges: dict,  # state id -> (lo, hi), validated by the config loader
+        compression_level: int = 0,
+        resume: bool = False,
+    ):
+        import functools
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+
+        s_count, n_q = len(link_ids), len(query_times)
+        self._state_ids = np.asarray(state_ids, np.int32)
+        lo = np.array([ranges[int(v)][0] for v in self._state_ids], np.float64)
+        hi = np.array([ranges[int(v)][1] for v in self._state_ids], np.float64)
+        self._scale = np.maximum((hi - lo) / 65532.0, 1e-30)
+        self._offset = (hi + lo) / 2.0
+        self._pack = jax.jit(
+            functools.partial(
+                _pack_cf_int16_declared,
+                scale=np.asarray(self._scale, np.float32),
+                offset=np.asarray(self._offset, np.float32),
+            )
+        )
+        names = [f"outputs_{int(v)}" for v in self._state_ids]
+        if resume:
+            import os
+
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"resume requested but output file is missing: {path}"
+                )
+            f = h5py.File(path, "r+")
+            try:
+                for name, s, o in zip(names, self._scale, self._offset):
+                    if name not in f:
+                        raise KeyError(f"resume file {path} has no {name!r}")
+                    ds = f[name]
+                    if ds.shape != (s_count, n_q) or ds.dtype != np.int16:
+                        raise ValueError(
+                            f"resume mismatch for {path}:{name}: file has "
+                            f"{ds.shape}/{ds.dtype}, run needs "
+                            f"{(s_count, n_q)}/int16"
+                        )
+                    if not (
+                        np.isclose(ds.attrs["scale_factor"], s)
+                        and np.isclose(ds.attrs["add_offset"], o)
+                    ):
+                        raise ValueError(
+                            f"resume packing mismatch for {path}:{name} — "
+                            "output.i16_ranges differ from the original run's"
+                        )
+                for dim, vals in (
+                    ("system", np.asarray(link_ids, np.int32)),
+                    ("time", np.asarray(query_times, np.float64)),
+                ):
+                    if dim in f and not np.array_equal(np.asarray(f[dim]), vals):
+                        raise ValueError(
+                            f"resume coordinate mismatch for {path}:{dim}"
+                        )
+            except Exception:
+                f.close()
+                raise
+            self._w = f
+            self._ds = [f[name] for name in names]
+        else:
+            self._w = NetCDFWriter(path)
+            _def_output_dims(self._w, link_ids, query_times, self._state_ids)
+            self._ds = [
+                self._w.def_var_empty(
+                    name, (s_count, n_q), ("system", "time"), np.int16,
+                    compression_level,
+                    attrs={
+                        "scale_factor": s,
+                        "add_offset": o,
+                        "_FillValue": np.int16(-32767),
+                        "long_name": f"state variable {int(v)}",
+                        "units": "various units",
+                    },
+                )
+                for name, v, s, o in zip(
+                    names, self._state_ids, self._scale, self._offset
+                )
+            ]
+        self._ex = ThreadPoolExecutor(max_workers=1)
+        self._pending = None
+
+    def write(self, q0: int, block) -> None:
+        """Quantize + fill time slice [q0, q0+Qw) (block: [S, Qw, N])."""
+        if self._pending is not None:
+            self._pending.result()
+        codes = self._pack(block)  # device int16 [S, Qw, N]
+
+        def pull_write(q0=q0, codes=codes):
+            host = np.asarray(codes)
+            for v, ds in enumerate(self._ds):
+                ds[:, q0 : q0 + host.shape[1]] = host[:, :, v]
+
+        self._pending = self._ex.submit(pull_write)
+
+    def flush(self) -> None:
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
+        f = self._w if isinstance(self._w, h5py.File) else self._w._f
+        f.flush()
+
+    def close(self) -> None:
+        try:
+            if self._pending is not None:
+                self._pending.result()
+                self._pending = None
+        finally:
+            self._ex.shutdown(wait=True)
+            self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 class WindowedVarWriter:
     """Incremental NetCDF writer for windowed (chunked) runs.
 

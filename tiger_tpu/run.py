@@ -354,14 +354,16 @@ def _run_chunked(
     from tiger_tpu.chunked import netcdf_window_loader, solve_chunked
     from tiger_tpu.config import parse_interval_minutes
     from tiger_tpu.io import write_final_netcdf
-    from tiger_tpu.io.output import WindowedVarWriter
+    from tiger_tpu.io.output import WindowedPackedWriter, WindowedVarWriter
 
     if cfg.output.format != "netcdf":
         raise ValueError("time.chunk_days requires output.format: netcdf")
-    if cfg.output.precision == "i16":
+    if cfg.output.precision == "i16" and cfg.output.i16_ranges is None:
         raise ValueError(
-            "output.precision i16 needs global per-state ranges and cannot "
-            "stream window by window; use f32/f64 (or solve unchunked)"
+            "output.precision i16 with chunked runs needs DECLARED per-state "
+            "packing ranges (the global min/max cannot be derived from "
+            "windows not yet solved): set output.i16_ranges "
+            "{state_id: [min, max], ...}, or use f32/f64 / solve unchunked"
         )
     # Multi-process routed discharge: per-window cross-rank allgather +
     # accumulation on the FULL topology (the same machinery the unchunked
@@ -411,7 +413,13 @@ def _run_chunked(
     final_path = os.path.join(outdir, f"final_{prefix}_rank_{proc}.nc")
     dense_path = os.path.join(outdir, f"dense_{prefix}_rank_{proc}.nc")
     out_dtype = {None: np.dtype(dtype), "f32": np.float32,
-                 "f64": np.float64}[cfg.output.precision]
+                 "f64": np.float64, "i16": np.int16}[cfg.output.precision]
+    if cfg.output.precision == "i16":
+        missing = [int(v) for v in state_ids if int(v) not in cfg.output.i16_ranges]
+        if missing:
+            raise ValueError(
+                f"output.i16_ranges is missing output states {missing}"
+            )
 
     import contextlib
 
@@ -419,13 +427,24 @@ def _run_chunked(
     resume = resume_t is not None
     state_path = os.path.join(outdir, f"state_{prefix}_rank_{proc}.nc")
     with contextlib.ExitStack() as stack, metrics.phase("solve"):
-        dense_w = stack.enter_context(
-            WindowedVarWriter(
-                dense_path, "outputs", link_ids, query_times,
-                state_ids=state_ids, compression_level=cfg.output.compression_level,
-                dtype=out_dtype, resume=resume,
+        if cfg.output.precision == "i16":
+            dense_w = stack.enter_context(
+                WindowedPackedWriter(
+                    dense_path, link_ids, query_times, state_ids,
+                    cfg.output.i16_ranges,
+                    compression_level=cfg.output.compression_level,
+                    resume=resume,
+                )
             )
-        )
+        else:
+            dense_w = stack.enter_context(
+                WindowedVarWriter(
+                    dense_path, "outputs", link_ids, query_times,
+                    state_ids=state_ids,
+                    compression_level=cfg.output.compression_level,
+                    dtype=out_dtype, resume=resume,
+                )
+            )
         disc_w = None
         if topo is not None or routed_fn is not None:
             discharge_path = os.path.join(outdir, f"discharge_{prefix}_rank_{proc}.nc")
@@ -498,9 +517,10 @@ def _run_chunked(
         write_final_netcdf(
             final_path, y_final[:, state_ids], link_ids, state_ids,
             cfg.output.compression_level,
-            dtype={None: None, "f32": np.float32, "f64": np.float64}[
-                cfg.output.precision
-            ],
+            # i16 packs only the (huge) dense record; the final state stays
+            # at solve precision (same rule as the unchunked path).
+            dtype={None: None, "f32": np.float32, "f64": np.float64,
+                   "i16": None}[cfg.output.precision],
         )
         ckpt.save_state(state_path, y_final, link_ids, tf)
 
