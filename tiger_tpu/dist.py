@@ -128,6 +128,7 @@ def rk45_solve_sharded(
     mesh: Optional[Mesh] = None,
     backend: str = "xla",
     t_shift=0.0,
+    lower_only: bool = False,
 ) -> RK45Result:
     """RK45 over a device mesh: systems split evenly across devices.
 
@@ -136,6 +137,11 @@ def rk45_solve_sharded(
     two-phase pipeline (tiger_tpu.solver.api.solve) on the gathered flags.
     ``backend='pallas'`` runs the fused kernel per shard (TPU pods); note the
     per-shard batch is padded to the kernel tile size internally.
+
+    ``lower_only=True`` returns the jax.stages.Lowered sharded solve instead
+    of executing it — collective audits (benchmarks/weak_scaling.py) compile
+    it and grep the HLO to prove the solve is pure domain decomposition (no
+    inter-device communication exists to slow real-ICI weak scaling).
     """
     if mesh is None:
         mesh = systems_mesh()
@@ -160,6 +166,11 @@ def rk45_solve_sharded(
 
     qt, q_inverse = dedup_queries(query_times, y0.dtype)
 
+    if lower_only:
+        return _sharded_rk45.lower(
+            model, y0p, float(t0), float(tf), qt, params_p, forc_data, meta,
+            h0p, config, mesh, backend, jnp.asarray(t_shift, y0.dtype),
+        )
     res = _sharded_rk45(
         model, y0p, float(t0), float(tf), qt, params_p, forc_data, meta, h0p,
         config, mesh, backend, jnp.asarray(t_shift, y0.dtype),
