@@ -161,6 +161,9 @@ class _Carry(NamedTuple):
     stiff: jax.Array  # (R, 128) int32 (0/1: Mosaic rejects i1 vector carries)
     det: tuple  # Hairer stiffness-detector counters (iasti, nonsti) as
     #             (R, 128) i32 pairs; empty tuple when cfg.stiff_detect off
+    fstreak: tuple  # 1-tuple of (R, 128) i32: consecutive attempts with the
+    #                 carried h below the collapse floor (stiff_floor_streak
+    #                 criterion); empty tuple when cfg.stiff_detect off
     y_c: tuple  # Kahan compensation of y, N_EQ arrays of (R, 128); empty
     #             tuple unless cfg.compensated (tight-tolerance f32 path)
     n_acc: jax.Array
@@ -289,15 +292,19 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             facold=((h0_ref[3],) if cfg.controller == "pi" else ()),
             stiff=h0_ref[2].astype(i32) + vzi,
             # rows 4/5 = Hairer detector counters, carried across windows so
-            # a cruise straddling a window boundary still accumulates.
+            # a cruise straddling a window boundary still accumulates;
+            # row 6 = below-collapse-floor attempt streak, likewise carried.
             det=(
                 (h0_ref[4].astype(i32) + vzi, h0_ref[5].astype(i32) + vzi)
                 if cfg.stiff_detect
                 else ()
             ),
-            # rows 6..6+N = Kahan y compensation, carried across windows.
+            fstreak=(
+                (h0_ref[6].astype(i32) + vzi,) if cfg.stiff_detect else ()
+            ),
+            # rows 7..7+N = Kahan y compensation, carried across windows.
             y_c=(
-                tuple(h0_ref[6 + i] + vz for i in range(n_eq))
+                tuple(h0_ref[7 + i] + vz for i in range(n_eq))
                 if cfg.compensated
                 else ()
             ),
@@ -488,10 +495,29 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 jnp.where(slope_i > 0, h_slope, h_eff * fac_rej),
             )
             reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
-            stiff_new = rejected_i * jnp.maximum(
-                b2i(reject_new > cfg.max_rejects),
-                b2i(h_new < span * cfg.min_step_fraction),
-            )
+            h_floor = span * cfg.min_step_fraction
+            if cfg.stiff_detect:
+                # h-collapse = PERSISTENTLY below the span-proportional
+                # floor (mirror of solver/rk45.py; see
+                # SolverConfig.stiff_floor_streak) — the raw reference rule
+                # flags every transient kink-resolution dip on long records.
+                # Only ACTIVE attempts advance the streak (inactive lanes'
+                # frozen h must not keep counting).
+                fs1 = jnp.where(
+                    act_i * b2i(h_new < h_floor) > 0, c.fstreak[0] + 1,
+                    jnp.where(act_i > 0, 0, c.fstreak[0]),
+                )
+                stiff_new = jnp.maximum(
+                    rejected_i * b2i(reject_new > cfg.max_rejects),
+                    act_i * b2i(fs1 >= cfg.stiff_floor_streak),
+                )
+                fstreak_new = (fs1,)
+            else:
+                stiff_new = rejected_i * jnp.maximum(
+                    b2i(reject_new > cfg.max_rejects),
+                    b2i(h_new < h_floor),
+                )
+                fstreak_new = ()
 
             if cfg.stiff_detect:
                 # Hairer stability-boundary detector (SolverConfig.stiff_*,
@@ -623,6 +649,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 facold=facold_new,
                 stiff=stiff_acc,
                 det=det_new,
+                fstreak=fstreak_new,
                 y_c=y_c_new,
                 n_acc=c.n_acc + advance_i,
                 n_rej=c.n_rej + rejected_i,
@@ -653,10 +680,12 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         zf = out.h * 0.0
         hout_ref[2] = out.det[0].astype(dtype) if cfg.stiff_detect else zf
         hout_ref[3] = out.det[1].astype(dtype) if cfg.stiff_detect else zf
-        # Rows 4..4+N: Kahan y compensation, fed back as h0_ref rows 6..6+N.
+        # Row 4: below-floor streak, fed back as h0_ref row 6.
+        hout_ref[4] = out.fstreak[0].astype(dtype) if cfg.stiff_detect else zf
+        # Rows 5..5+N: Kahan y compensation, fed back as h0_ref rows 7..7+N.
         if cfg.compensated:
             for i in range(n_eq):
-                hout_ref[4 + i] = out.y_c[i]
+                hout_ref[5 + i] = out.y_c[i]
 
     return kernel
 
@@ -768,8 +797,8 @@ def _pallas_pipeline(
     # per-lane slack the planner already budgets.)
     tile_rows, q_chunk = _plan_tiles(s_count, q_total, n_eq, t_forc, n_par, f_bytes)
     tile = tile_rows * LANES
-    n_hrows = 6 + (n_eq if config.compensated else 0)
-    n_orows = 4 + (n_eq if config.compensated else 0)
+    n_hrows = 7 + (n_eq if config.compensated else 0)
+    n_orows = 5 + (n_eq if config.compensated else 0)
 
     # Pad S to a tile multiple; padded lanes replicate row 0.
     s_pad = ((s_count + tile - 1) // tile) * tile
@@ -896,13 +925,14 @@ def _pallas_pipeline(
         qt_chunks = qt_flat.reshape(n_w, 1, q_chunk)
 
         def wbody(carry, xs):
-            y_in, h_in, facold_in, det_in, yc_in, stiff_acc, stats_acc, failed_acc = carry
+            (y_in, h_in, facold_in, det_in, wab_in, yc_in,
+             stiff_acc, stats_acc, failed_acc) = carry
             qt_c, bnds = xs
             yf_w, dense_w, stiff_w, stats_w, h_out = call(
                 bnds[None], qt_c, qt_c, y_in,
                 jnp.concatenate(
                     [h0_m, h_in, stiff_acc.astype(jnp.float32), facold_in,
-                     det_in, yc_in],
+                     det_in, wab_in, yc_in],
                     axis=0,
                 ),
                 p_m, f_m,
@@ -912,7 +942,8 @@ def _pallas_pipeline(
                 h_out[0:1],
                 h_out[1:2],  # PI facold carried across windows (ADVICE r02)
                 h_out[2:4],  # Hairer detector counters, likewise carried
-                h_out[4:n_orows],  # Kahan y compensation, likewise carried
+                h_out[4:5],  # below-floor streak, likewise carried
+                h_out[5:n_orows],  # Kahan y compensation, likewise carried
                 jnp.maximum(stiff_acc, stiff_w),
                 stats_acc + stats_w[:3],
                 jnp.maximum(failed_acc, stats_w[3:4]),
@@ -924,12 +955,13 @@ def _pallas_pipeline(
             h0_m,
             jnp.full((1, r_total, LANES), 1e-4, jnp.float32),
             jnp.zeros((2, r_total, LANES), jnp.float32),
-            jnp.zeros((n_orows - 4, r_total, LANES), jnp.float32),
+            jnp.zeros((1, r_total, LANES), jnp.float32),
+            jnp.zeros((n_orows - 5, r_total, LANES), jnp.float32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
             jnp.zeros((3, r_total, LANES), jnp.int32),
             jnp.zeros((1, r_total, LANES), jnp.int32),
         )
-        (yf, _, _, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
+        (yf, _, _, _, _, _, stiff, stats_m, failed_m), dense_seq = lax.scan(
             wbody, init, (qt_chunks, bounds_seq)
         )
         dense = dense_seq.reshape(n_w * q_chunk, n_eq, r_total, LANES)

@@ -75,6 +75,17 @@ class SolverConfig:
     stiff_streak: int = 15
     stiff_forgive: int = 6
     stiff_test_every: int = 64
+    # With stiff_detect, the h-collapse criterion requires the carried step
+    # to sit below the floor (span * min_step_fraction) for this many
+    # CONSECUTIVE attempts, instead of the reference's flag-on-first-
+    # rejection-below-floor (rk45_kernel.cu:167).  Rationale: the floor is
+    # span-proportional, so "persistently below floor" literally means
+    # "cannot finish within ~1/min_step_fraction steps" — while a transient
+    # kink-resolution dip (measured ~25 attempts on the reference's own
+    # 9-month config, where the raw rule flags EVERY lane) recovers well
+    # before the streak fills.  The initial ramp-up from a tiny h0 exits in
+    # <= ~10 attempts (growth is x10 per accept).
+    stiff_floor_streak: int = 64
 
     # Step-shrink factor applied when the error norm is NaN (a stage produced
     # NaN/Inf).  CUDA's fmin(NaN, 1.0) == 1.0 leaves h unchanged in the
@@ -204,6 +215,8 @@ class SolverConfig:
             raise ValueError(f"pi_beta must be in [0, 0.2], got {self.pi_beta}")
         if self.stiff_streak < 1 or self.stiff_forgive < 1:
             raise ValueError("stiff_streak and stiff_forgive must be >= 1")
+        if self.stiff_floor_streak < 1:
+            raise ValueError("stiff_floor_streak must be >= 1")
         if not self.stiff_hlamb > 0.0:
             raise ValueError(f"stiff_hlamb must be > 0, got {self.stiff_hlamb}")
         if self.compensated and self.fsal:

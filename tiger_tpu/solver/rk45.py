@@ -141,6 +141,8 @@ class _Carry(NamedTuple):
     #                    carried but unused under controller='i')
     iasti: jax.Array  # consecutive accepted steps with hlamb > stiff_hlamb
     nonsti: jax.Array  # calm accepted steps since the last trip (forgiveness)
+    fstreak: jax.Array  # consecutive attempts with carried h below the
+    #                     collapse floor (stiff_floor_streak criterion)
     y_c: jax.Array  # Kahan compensation of y (zeros unless cfg.compensated)
     dense: jax.Array
 
@@ -236,6 +238,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         facold=jnp.asarray(1e-4, dtype),
         iasti=jnp.zeros((), i32),
         nonsti=jnp.zeros((), i32),
+        fstreak=jnp.zeros((), i32),
         y_c=jnp.zeros_like(y0),
         dense=dense0,
     )
@@ -315,9 +318,22 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         h_new = jnp.where(advance, h_adv, jnp.where(slope_cut, h_slope, h_rej))
 
         reject_new = jnp.where(accept, 0, c.reject + 1)
-        stiff_new = (~accept) & (
-            (reject_new > cfg.max_rejects) | (h_new < span * cfg.min_step_fraction)
-        )
+        h_floor = span * cfg.min_step_fraction
+        if cfg.stiff_detect:
+            # h-collapse = PERSISTENTLY below the span-proportional floor
+            # (see SolverConfig.stiff_floor_streak).  The raw reference rule
+            # flags the first rejection below it, which on long records
+            # trips on every transient kink-resolution dip — a 9-month run
+            # of the reference's own config flags EVERY lane that way.
+            fstreak_new = jnp.where(h_new < h_floor, c.fstreak + 1, 0)
+            stiff_new = ((~accept) & (reject_new > cfg.max_rejects)) | (
+                fstreak_new >= cfg.stiff_floor_streak
+            )
+        else:
+            fstreak_new = c.fstreak
+            stiff_new = (~accept) & (
+                (reject_new > cfg.max_rejects) | (h_new < h_floor)
+            )
 
         if cfg.stiff_detect:
             # Hairer stability-boundary detector (see SolverConfig.stiff_*).
@@ -363,6 +379,7 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             facold=facold_new,
             iasti=iasti_new,
             nonsti=nonsti_new,
+            fstreak=fstreak_new,
             y_c=jnp.where(advance, y_c_new, c.y_c),
             dense=dense,
         )
