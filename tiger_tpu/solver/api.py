@@ -348,7 +348,15 @@ def solve(
             interpret=jax.devices()[0].platform != "tpu",
             t_shift=t_shift,
         )
-        ok = ~np.asarray(rdk.failed)[: len(idx0)]
+        # ONE host round trip for everything the merge logic reads (each
+        # separate np.asarray pull costs ~10-20 ms over the remote-TPU
+        # tunnel; failed + 4 stats fields serialized was ~0.1 s/solve).
+        failed_np, stats_np = (
+            jax.tree.map(_host_pull, (rdk.failed, rdk.stats))
+            if glob
+            else jax.device_get((rdk.failed, rdk.stats))
+        )
+        ok = ~failed_np[: len(idx0)]
         ok_rel = np.nonzero(ok)[0]
         if len(ok_rel):
             b = _bucket(len(ok_rel))
@@ -366,7 +374,7 @@ def solve(
             )
         # Per-lane counters for EVERY flagged lane (including ones whose
         # kernel attempt failed and falls through to the CPU retry below).
-        radau_stats = _scatter_stats(radau_stats, rdk.stats, idx0, s_count)
+        radau_stats = _scatter_stats(radau_stats, stats_np, idx0, s_count)
         stiff_mask = np.zeros_like(stiff_mask)
         stiff_mask[idx0[~ok]] = True
         n_stiff_remaining = int(stiff_mask.sum())
