@@ -50,7 +50,7 @@ def _per_lane_bytes(qp: int, n_eq: int, t_forc: int, n_params: int) -> int:
     matrix, stage/scratch values, forcings and params."""
     n_stack = 3 * n_eq
     return 4 * (
-        2 * qp * n_eq + t_forc + n_params + n_stack * n_stack + 8 * n_stack + 60
+        2 * qp * n_eq + t_forc + n_params + n_stack * n_stack + 10 * n_stack + 62
     )
 
 
@@ -71,7 +71,7 @@ def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int) -> int:
     per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
     n_stack = 3 * n_eq
     return int(
-        (per_lane_budget - t_forc - n_params - n_stack * n_stack - 8 * n_stack - 60)
+        (per_lane_budget - t_forc - n_params - n_stack * n_stack - 10 * n_stack - 62)
         // (2 * n_eq)
     )
 
@@ -122,6 +122,10 @@ class _Carry(NamedTuple):
     n_rej: jax.Array
     n_att: jax.Array
     n_swp: jax.Array  # (R, 128) i32: Newton sweeps each lane sat through
+    pred: tuple  # Newton-predictor state (cfg.radau_predictor, else empty):
+    #              (h_prev, z_base, have_i, *z_prev[n_stack]) — the previous
+    #              attempt's converged stage slopes and the theta offset of
+    #              the next step against that collocation polynomial
 
 
 def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
@@ -187,6 +191,14 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             n_rej=vzi,
             n_att=vzi,
             n_swp=vzi,
+            # Predictor state starts empty (have=0 -> f0-tile start values);
+            # NOT carried across query windows — the first attempt of each
+            # window re-seeds from f0, which costs a few extra sweeps once.
+            pred=(
+                (vz + 1.0, vz, vzi) + tuple(vz for _ in range(n_stack))
+                if cfg.radau_predictor
+                else ()
+            ),
         )
 
         def cond(c):
@@ -270,11 +282,46 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             # f32-aware tolerance (the configured absolute newton_tol sits
             # below f32 delta resolution, so a relative rung at 8*eps*|z| is
             # added); per-lane unconverged-sweep counts land in stats row 3.
-            z = [f0[i % n_eq] for i in range(n_stack)]  # Z[s*n_eq+i]
+            if cfg.radau_predictor:
+                # Hairer W-extrapolation (SolverConfig.radau_predictor):
+                # evaluate the previous attempt's collocation slopes at the
+                # new stage times via the degree-2 Lagrange basis on the
+                # Radau nodes.  theta = base + c_s * h/h_prev: base is 1
+                # after an accept (extrapolation past the committed step)
+                # and 0 after a reject (interpolation inside the failed
+                # one).  Lanes without valid slopes fall back to the f0
+                # tile (first attempt of a window; NaN-poisoned Newton).
+                h_prev, z_base, have_i = c.pred[0], c.pred[1], c.pred[2]
+                zp = c.pred[3:]
+                ratio = h_eff / h_prev
+                # Extrapolation guard (mirror of solver/radau.py): at large
+                # h ratios the quadratic basis blows up ~theta^2 and a
+                # garbage start makes Newton diverge — fall back to f0.
+                use_i = have_i * b2i(ratio <= 2.0)
+                cs = [float(rc[s]) for s in range(3)]
+                z = []
+                for s in range(3):
+                    th = z_base + cs[s] * ratio
+                    lw = []
+                    for j in range(3):
+                        ca, cb = [cs[k] for k in range(3) if k != j]
+                        lw.append(
+                            ((th - ca) * (th - cb))
+                            * float(1.0 / ((cs[j] - ca) * (cs[j] - cb)))
+                        )
+                    for i in range(n_eq):
+                        pzi = (
+                            lw[0] * zp[0 * n_eq + i]
+                            + lw[1] * zp[1 * n_eq + i]
+                            + lw[2] * zp[2 * n_eq + i]
+                        )
+                        z.append(jnp.where(use_i > 0, pzi, f0[i]))
+            else:
+                z = [f0[i % n_eq] for i in range(n_stack)]  # Z[s*n_eq+i]
             conv_i = jnp.minimum(1 - act_i + vzi, 1)  # inactive lanes exempt
             n_swp_step = vzi
 
-            for _ in range(cfg.newton_max_iter):
+            def sweep(z, conv_i, n_swp_step):
                 bvec = []
                 for s in range(3):
                     ys = list(y)
@@ -292,6 +339,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 n_swp_step = n_swp_step + (1 - conv_i)
                 maxd = jnp.zeros(shp, dtype)
                 zmag = jnp.zeros(shp, dtype)
+                z = list(z)
                 for a in range(n_stack):
                     z[a] = z[a] + upd * delta[a]
                     maxd = jnp.maximum(maxd, jnp.abs(delta[a]))
@@ -299,6 +347,41 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 tol_eff = cfg.newton_tol + (8.0 * _F32_EPS) * zmag
                 done = b2i(maxd < tol_eff) + b2i(jnp.isnan(maxd))
                 conv_i = jnp.minimum(jnp.maximum(conv_i, done), 1)
+                return z, conv_i, n_swp_step
+
+            # With good start values the lane-mean is ~2 sweeps (vs ~9.5
+            # from the f0 tile), but the TILE pays for its slowest lane:
+            # unroll 6 (covers the p99 lane) and run the remainder inside a
+            # tile-gated while loop that usually does ZERO iterations — a
+            # looped sweep costs ~2x an unrolled one (measured), so the
+            # unroll depth trades straggler coverage against loop entries.
+            n_unrolled = min(6, cfg.newton_max_iter) if cfg.radau_predictor \
+                else cfg.newton_max_iter
+            for _ in range(n_unrolled):
+                z, conv_i, n_swp_step = sweep(z, conv_i, n_swp_step)
+            n_tail = cfg.newton_max_iter - n_unrolled
+            if n_tail > 0:
+                def tcond(s):
+                    return s[0] > 0  # scalar (vector reductions live in body)
+
+                def tbody(s):
+                    _, it, z_t, conv_i, n_swp_step = s
+                    z2, conv2, n_swp2 = sweep(list(z_t), conv_i, n_swp_step)
+                    it = it + 1
+                    alive = jnp.max(1 - conv2) * jnp.where(it < n_tail, 1, 0)
+                    return (alive, it, tuple(z2), conv2, n_swp2)
+
+                state0 = (
+                    jnp.max(1 - conv_i),
+                    jnp.zeros((), i32),
+                    tuple(z),
+                    conv_i,
+                    n_swp_step,
+                )
+                _, _, z_t, conv_i, n_swp_step = lax.while_loop(
+                    tcond, tbody, state0
+                )
+                z = list(z_t)
 
             # ---- step update + embedded error ----
             y_out = list(y)
@@ -372,6 +455,20 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             still_i = (
                 b2i(t_new < tf_s) * b2i(failed_new == 0) * b2i(n_att_new < cfg.max_steps)
             )
+            if cfg.radau_predictor:
+                zbad = vzi
+                for a in range(n_stack):
+                    zbad = jnp.maximum(zbad, 1 - b2i(jnp.isfinite(z[a])))
+                pred_new = (
+                    jnp.where(act_i > 0, h_eff, c.pred[0]),
+                    jnp.where(accept_i > 0, 1.0, jnp.where(act_i > 0, 0.0, c.pred[1])),
+                    jnp.where(act_i > 0, 1 - zbad, c.pred[2]),
+                ) + tuple(
+                    jnp.where(act_i > 0, z[a], c.pred[3 + a])
+                    for a in range(n_stack)
+                )
+            else:
+                pred_new = ()
             return _Carry(
                 alive=jnp.max(still_i),
                 t=t_new,
@@ -386,6 +483,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 n_rej=c.n_rej + rejected_i,
                 n_att=n_att_new,
                 n_swp=c.n_swp + n_swp_step,
+                pred=pred_new,
             )
 
         out = lax.while_loop(cond, body, carry0)
@@ -435,24 +533,20 @@ def radau_solve_pallas(
     param_fields = tuple(sorted(params.keys())) if params is not None else ()
     meta = forcings.meta if forcings is not None else None
     forc_data = None if forcings is None else forcings.data
-    qt = None if query_times is None else jnp.asarray(query_times, jnp.float32)
-    if qt is not None and _plan_tiles(
-        s_count, qt.shape[0], y0.shape[1],
-        1 if forc_data is None else forc_data.shape[0],
-        max(len(param_fields), 1),
-    )[1] is not None:
-        # Query-windowed mode splits the run at query times (see rk45_pallas):
-        # duplicate query times would straddle a boundary and never fill.
-        if (np.diff(np.asarray(qt)) <= 0).any():
-            raise ValueError(
-                "query_times must be strictly increasing for query counts "
-                "large enough to trigger kernel auto-windowing"
-            )
-    return _pipeline(
+    # Same duplicate-query contract as the RK45 kernel (rk45_pallas.
+    # dedup_queries): duplicates collapse before the pipeline and the dense
+    # rows re-expand after, identically on every planner decision.
+    from tiger_tpu.kernels.rk45_pallas import dedup_queries
+
+    qt, q_inverse = dedup_queries(query_times, jnp.float32)
+    res = _pipeline(
         model, y0, h0, params, forc_data, qt,
         float(t0), float(tf), meta, config, param_fields, bool(interpret),
         jnp.asarray(t_shift, jnp.float32),
     )
+    if q_inverse is not None:
+        res = res._replace(dense=res.dense[:, q_inverse, :])
+    return res
 
 
 @functools.partial(

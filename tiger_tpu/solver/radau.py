@@ -76,8 +76,29 @@ def _fd_jacobian_and_f(rhs_t, ts, y_s):
     return f_s, jac
 
 
-def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig):
-    """One attempted Radau IIA step; returns (y_out, err_norm, Z[3, N])."""
+def lagrange_on_radau_nodes(theta):
+    """L_j(theta) for the degree-2 Lagrange basis on the RADAU_C nodes.
+
+    ``theta`` scalar or array; returns a 3-tuple.  Used by the Newton
+    predictor (SolverConfig.radau_predictor): the previous attempt's
+    collocation slopes evaluated at the new stage times."""
+    c = tableau.RADAU_C
+    out = []
+    for j in range(3):
+        # float(): weak-typed constants so f32 inputs stay f32 under x64.
+        ca, cb = (float(c[k]) for k in range(3) if k != j)
+        out.append(
+            ((theta - ca) * (theta - cb))
+            * (1.0 / float((c[j] - ca) * (c[j] - cb)))
+        )
+    return tuple(out)
+
+
+def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig, z0=None):
+    """One attempted Radau IIA step; returns (y_out, err_norm, Z, n_newton).
+
+    ``z0`` [3, N]: Newton starting slopes (default: f(t, y) tiled, the
+    reference's choice)."""
     dtype = y.dtype
     n = y.shape[0]
     a_mat = jnp.asarray(tableau.RADAU_A, dtype)
@@ -87,8 +108,9 @@ def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig):
     e_np = tableau.RADAU_E3 if cfg.radau_error_mode == "embedded3" else tableau.RADAU_E
     e_vec = jnp.asarray(e_np, dtype)
 
-    f0 = rhs_t(t, y)
-    z0 = jnp.tile(f0, (3, 1))  # [3, N]
+    if z0 is None:
+        f0 = rhs_t(t, y)
+        z0 = jnp.tile(f0, (3, 1))  # [3, N]
     eye = jnp.eye(3 * n, dtype=dtype)
 
     def newton_cond(state):
@@ -142,6 +164,10 @@ class _Carry(NamedTuple):
     n_rej: jax.Array
     n_att: jax.Array
     n_newt: jax.Array
+    z_prev: jax.Array  # [3, N] last attempt's converged stage slopes
+    h_prev: jax.Array  # step size the slopes belong to
+    z_base: jax.Array  # theta offset of the new step vs that poly (1=accept)
+    have_z: jax.Array  # bool: z_prev is valid (False before the 1st attempt)
     dense: jax.Array
 
 
@@ -169,6 +195,10 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         n_rej=jnp.zeros((), i32),
         n_att=jnp.zeros((), i32),
         n_newt=jnp.zeros((), i32),
+        z_prev=jnp.zeros((3, n), dtype),
+        h_prev=jnp.ones((), dtype),
+        z_base=jnp.zeros((), dtype),
+        have_z=jnp.zeros((), bool),
         dense=dense0,
     )
 
@@ -186,7 +216,28 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         def rhs_t(tt, yy):
             return rhs(tt, yy, f_vals)
 
-        y_next, err, z, n_newt = radau_step(rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg)
+        if cfg.radau_predictor:
+            # Hairer W-extrapolation (SolverConfig.radau_predictor): start
+            # Newton at the previous attempt's collocation slopes evaluated
+            # at the new stage times.
+            ratio = h_eff / c.h_prev
+            theta = c.z_base + jnp.asarray(tableau.RADAU_C, dtype) * ratio  # [3]
+            ls = lagrange_on_radau_nodes(theta)  # 3 x [3]
+            z_pred = sum(ls[j][:, None] * c.z_prev[j][None, :] for j in range(3))
+            f0 = rhs_t(c.t, c.y)
+            # Quadratic EXTRAPOLATION is only sane a short way past the
+            # previous step (after a growth-capped accept theta <= 1+c*2);
+            # at large ratios the Lagrange basis blows up ~theta^2 and a
+            # garbage start makes Newton diverge (measured 36x the attempts
+            # on the stiff-rung workload before this guard).
+            use = c.have_z & (ratio <= 2.0)
+            z0 = jnp.where(use, z_pred, jnp.tile(f0, (3, 1)))
+        else:
+            z0 = None
+
+        y_next, err, z, n_newt = radau_step(
+            rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg, z0=z0
+        )
         accept = err <= 1.0
 
         if q_total > 0:
@@ -218,6 +269,12 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             n_rej=c.n_rej + (~accept).astype(i32),
             n_att=c.n_att + 1,
             n_newt=c.n_newt + n_newt,
+            # A NaN-poisoned z (diverged Newton / NaN stages) must not seed
+            # the next attempt's predictor — fall back to the f0 tile there.
+            z_prev=z,
+            h_prev=h_eff,
+            z_base=jnp.where(accept, 1.0, 0.0).astype(dtype),
+            have_z=jnp.isfinite(z).all() & jnp.asarray(True),
             dense=dense,
         )
 
