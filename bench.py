@@ -182,6 +182,14 @@ def main() -> None:
         walls.append(time.perf_counter() - t0)
         sums.append(s)
     wall = float(np.median(walls))
+    # Run-to-run spread in the headline JSON: the remote-TPU tunnel jitters
+    # 10-30% (year_run_tpu.json recorded 107.8/145.6/110.6 s walls), and
+    # without the spread a tunnel artifact is indistinguishable from a real
+    # regression at readout time.
+    wall_spread = {
+        "wall_s_min": float(np.min(walls)),
+        "wall_s_max": float(np.max(walls)),
+    }
     if len(set(sums)) == 1:
         print("warning: identical checksums across perturbed runs", file=sys.stderr)
 
@@ -216,6 +224,15 @@ def main() -> None:
         expect={"systems": s_count, "backend": jax.devices()[0].platform},
     )
     vs = (value / baseline) if baseline else 1.0
+    if vs < 0.8:
+        # Loud regression flag (round-3 lesson: a 14x headline regression
+        # shipped with vs_baseline 0.07 in its own BENCH file, uncaught).
+        print(
+            f"REGRESSION WARNING: {baseline_key} at {vs:.3f}x the committed "
+            f"record ({value:.3g} vs {baseline:.3g} system-steps/s) — do not "
+            "ship without isolating the cause",
+            file=sys.stderr,
+        )
 
     if args.record:
         write_baseline(
@@ -248,6 +265,7 @@ def main() -> None:
                 "systems": s_count,
                 "steps_total": n_attempts,
                 "wall_s": wall,
+                **wall_spread,
                 "backend": jax.devices()[0].platform,
                 # fsal is implemented only in the fused RK45 kernel (which
                 # the two-phase pipeline dispatches to on TPU f32 batches).

@@ -122,19 +122,46 @@ def main() -> None:
         )
         y64t = np.asarray(r64t.y_final)
     ok64 = ~np.asarray(r64.stiff) & ~np.asarray(r64t.stiff)
-    tol64 = 1e-9 + 1e-6 * np.abs(y64t[ok64])
-    f64_self = float(np.max(np.abs(y64[ok64] - y64t[ok64]) / tol64))
 
-    def err_in_tol_units(r):
-        """max |y - y64| / (atol + rtol*|y64|) over mutually-finished lanes."""
-        ys = np.asarray(r.y_final)[pick]
-        m = ok64 & ~np.asarray(r.stiff)[pick]
-        tolv = 1e-9 + 1e-6 * np.abs(y64[m])
-        return float(np.max(np.abs(ys[m] - y64[m]) / tolv)), int(m.sum())
+    def lane_err(ys_all, mask):
+        """Per-lane error in tolerance units: max_i |y - y64t| /
+        (atol + rtol*|y64t|), against the TIGHT f64 run (the best available
+        truth) over ``mask`` lanes."""
+        tolv = 1e-9 + 1e-6 * np.abs(y64t[mask])
+        return np.max(np.abs(ys_all[mask] - y64t[mask]) / tolv, axis=1)
 
-    err_c, n_cmp = err_in_tol_units(res)
+    def quantiles(e):
+        return {
+            "p50": float(np.quantile(e, 0.50)),
+            "p90": float(np.quantile(e, 0.90)),
+            "p99": float(np.quantile(e, 0.99)),
+            "max": float(np.max(e)),
+        }
+
+    # Distributions over the SAME lane set, all against the tight-f64 truth:
+    #   f64_self — the f64 method rerun at the production tolerance: its
+    #              per-lane error IS the method's step-size sensitivity band
+    #              (kink/ZOH-crossing errors re-randomize with the step
+    #              sequence and dwarf the local tolerance on Model 204);
+    #   f32c/f32 — the kernel runs.  The claim "f32c holds the reference's
+    #              f64 regime" is quantile-wise: each f32c quantile within
+    #              CLAIM_MARGIN of the f64-self band's.  Per-lane pairing
+    #              would be wrong — a different step sequence re-rolls each
+    #              lane's kink errors, so only distributions are comparable.
     res_plain = run_kernel(False)
-    err_p, _ = err_in_tol_units(res_plain)
+    m_c = ok64 & ~np.asarray(res.stiff)[pick]
+    m_p = ok64 & ~np.asarray(res_plain.stiff)[pick]
+    m_all = m_c & m_p
+    e64 = quantiles(lane_err(y64, m_all))
+    e_c = quantiles(lane_err(np.asarray(res.y_final)[pick], m_all))
+    e_p = quantiles(lane_err(np.asarray(res_plain.y_final)[pick], m_all))
+
+    CLAIM_MARGIN = 2.0
+    claim = {
+        f"f32c_within_band_{q}": bool(e_c[q] <= CLAIM_MARGIN * max(e64[q], 1.0))
+        for q in ("p50", "p90", "p99")
+    }
+    claim["f32c_holds_f64_regime"] = all(claim.values())
 
     out = {
         "metric": "model204_tight_tol_steps_per_s",
@@ -148,15 +175,17 @@ def main() -> None:
         "backend": jax.devices()[0].platform,
         "n_stiff": int(np.asarray(res.stiff).sum()),
         "n_failed": int(np.asarray(res.failed).sum()),
-        "sample_lanes_compared_f64": n_cmp,
-        # Global error vs the reference's f64 run, in units of the local
-        # tolerance (atol + rtol*|y|): method-level (kink-dominated) error —
-        # the plain-f32 counterfactual shows what compensation buys.
-        "max_err_tol_units_f32c": err_c,
-        "max_err_tol_units_f32_plain": err_p,
-        # f64@rtol1e-6 vs f64@rtol1e-8: the method's own global error in the
-        # same units — f32c is "at tolerance" iff it sits in this band.
-        "max_err_tol_units_f64_self": f64_self,
+        "sample_lanes_compared_f64": int(m_all.sum()),
+        # Per-lane error quantiles in tolerance units vs the tight-f64 truth.
+        "err_tol_units_f64_self": e64,
+        "err_tol_units_f32c": e_c,
+        "err_tol_units_f32_plain": e_p,
+        # The README claim, literally checked: every f32c quantile within
+        # CLAIM_MARGIN of the f64 method's own rerun-sensitivity band.  The
+        # max is reported above but not claimed on: a single order statistic
+        # of a kink-dominated distribution is sampling noise.
+        "claim_margin": CLAIM_MARGIN,
+        **claim,
     }
     print(json.dumps(out))
     if not args.cpu:

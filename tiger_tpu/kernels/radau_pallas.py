@@ -283,43 +283,69 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             # below f32 delta resolution, so a relative rung at 8*eps*|z| is
             # added); per-lane unconverged-sweep counts land in stats row 3.
             if cfg.radau_predictor:
-                # Hairer W-extrapolation (SolverConfig.radau_predictor):
-                # evaluate the previous attempt's collocation slopes at the
-                # new stage times via the degree-2 Lagrange basis on the
-                # Radau nodes.  theta = base + c_s * h/h_prev: base is 1
-                # after an accept (extrapolation past the committed step)
-                # and 0 after a reject (interpolation inside the failed
-                # one).  Lanes without valid slopes fall back to the f0
-                # tile (first attempt of a window; NaN-poisoned Newton).
+                # RADAU5's extrapolated Newton start in VALUE space (mirror
+                # of solver/radau.py): predict the stage VALUES from the
+                # previous attempt's collocation polynomial, then map the
+                # increments through A^{-1} to the slope unknowns —
+                # extrapolating the slopes directly is ill-conditioned for
+                # stiff lanes (round-3 regression).  theta = base + c_i *
+                # h/h_prev: base 1 after an accept, 0 after a reject.
+                # Lanes without a valid CONVERGED previous solution fall
+                # back to the f0 tile.
                 h_prev, z_base, have_i = c.pred[0], c.pred[1], c.pred[2]
                 zp = c.pred[3:]
                 ratio = h_eff / h_prev
-                # Extrapolation guard (mirror of solver/radau.py): at large
-                # h ratios the quadratic basis blows up ~theta^2 and a
-                # garbage start makes Newton diverge — fall back to f0.
+                # Extrapolation guard (mirror of solver/radau.py): far past
+                # the previous polynomial the cubic blows up and a garbage
+                # start makes Newton diverge — fall back to f0.
                 use_i = have_i * b2i(ratio <= 2.0)
                 cs = [float(rc[s]) for s in range(3)]
+                base2 = z_base * z_base
+                base3 = base2 * z_base
+                # i_th[s][i] = I_s(theta_i) - I_s(base)
+                i_th = [[None] * 3 for _ in range(3)]
+                for i in range(3):
+                    th = z_base + cs[i] * ratio
+                    th2 = th * th
+                    th3 = th2 * th
+                    for s in range(3):
+                        i_th[s][i] = (
+                            float(rw[s, 0]) * (th - z_base)
+                            + float(rw[s, 1]) * (th2 - base2)
+                            + float(rw[s, 2]) * (th3 - base3)
+                        )
+                inv_a = tableau.RADAU_A_INV
+                scale = h_prev / h_eff
                 z = []
-                for s in range(3):
-                    th = z_base + cs[s] * ratio
-                    lw = []
-                    for j in range(3):
-                        ca, cb = [cs[k] for k in range(3) if k != j]
-                        lw.append(
-                            ((th - ca) * (th - cb))
-                            * float(1.0 / ((cs[j] - ca) * (cs[j] - cb)))
-                        )
-                    for i in range(n_eq):
-                        pzi = (
-                            lw[0] * zp[0 * n_eq + i]
-                            + lw[1] * zp[1 * n_eq + i]
-                            + lw[2] * zp[2 * n_eq + i]
-                        )
-                        z.append(jnp.where(use_i > 0, pzi, f0[i]))
+                for i in range(3):
+                    for k in range(n_eq):
+                        acc = None
+                        for j in range(3):
+                            vjk = (
+                                i_th[0][j] * zp[0 * n_eq + k]
+                                + i_th[1][j] * zp[1 * n_eq + k]
+                                + i_th[2][j] * zp[2 * n_eq + k]
+                            )
+                            term = float(inv_a[i, j]) * vjk
+                            acc = term if acc is None else acc + term
+                        z.append(jnp.where(use_i > 0, scale * acc, f0[k]))
             else:
                 z = [f0[i % n_eq] for i in range(n_stack)]  # Z[s*n_eq+i]
             conv_i = jnp.minimum(1 - act_i + vzi, 1)  # inactive lanes exempt
             n_swp_step = vzi
+            # Convergence test, two exits OR-ed (mirror of solver/radau.py):
+            # the reference's absolute max|delta| < newton_tol, and RADAU5's
+            # SCALED solution-units criterion max h|delta|/(atol+rtol|y|) <
+            # kappa — the absolute exit alone is unreachable in float32 for
+            # stiff lanes (delta rounding floor ~ eps*|z|), which under
+            # newton_reject_unconverged would death-spiral h.
+            kappa = max(
+                10.0 * _F32_EPS / cfg.rtol,
+                min(0.03, float(np.sqrt(cfg.rtol))),
+            )
+            tol_y = tuple(
+                cfg.atol + cfg.rtol * jnp.abs(y[i]) for i in range(n_eq)
+            )
 
             def sweep(z, conv_i, n_swp_step):
                 bvec = []
@@ -339,13 +365,20 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 n_swp_step = n_swp_step + (1 - conv_i)
                 maxd = jnp.zeros(shp, dtype)
                 zmag = jnp.zeros(shp, dtype)
+                scaled = jnp.zeros(shp, dtype)
                 z = list(z)
                 for a in range(n_stack):
                     z[a] = z[a] + upd * delta[a]
-                    maxd = jnp.maximum(maxd, jnp.abs(delta[a]))
+                    ad = jnp.abs(delta[a])
+                    maxd = jnp.maximum(maxd, ad)
+                    scaled = jnp.maximum(scaled, ad / tol_y[a % n_eq])
                     zmag = jnp.maximum(zmag, jnp.abs(z[a]))
                 tol_eff = cfg.newton_tol + (8.0 * _F32_EPS) * zmag
-                done = b2i(maxd < tol_eff) + b2i(jnp.isnan(maxd))
+                done = (
+                    b2i(maxd < tol_eff)
+                    + b2i(h_eff * scaled < kappa)
+                    + b2i(jnp.isnan(maxd))
+                )
                 conv_i = jnp.minimum(jnp.maximum(conv_i, done), 1)
                 return z, conv_i, n_swp_step
 
@@ -395,8 +428,17 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 tol = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))
                 err = jnp.maximum(err, jnp.abs(err_c[i] / tol))
 
-            accept_i = act_i * b2i(err <= 1.0)
-            rejected_i = act_i * (1 - b2i(err <= 1.0))
+            if cfg.newton_reject_unconverged:
+                # Honest rejection (RADAU5; mirrors solver/radau.py): a lane
+                # whose Newton sweeps did NOT converge has a meaningless Z —
+                # its embedded error estimate can pass the accept test with
+                # arbitrarily wrong states.  Reject it with h/2 regardless
+                # of err.
+                newt_fail_i = 1 - conv_i  # inactive lanes start converged
+            else:
+                newt_fail_i = vzi
+            accept_i = act_i * b2i(err <= 1.0) * (1 - newt_fail_i)
+            rejected_i = act_i * (1 - accept_i)
 
             # Kahan sum computed BEFORE the dense fill and used as its upper
             # bound (see rk45_pallas: filling to t + h_eff while committing
@@ -442,6 +484,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0)
             )
             fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
+            if cfg.newton_reject_unconverged:
+                # Newton failure says nothing about the error — halve.
+                fac_rej = jnp.where(newt_fail_i > 0, 0.5, fac_rej)
             h_new = h_eff * jnp.where(accept_i > 0, fac_acc, fac_rej)
 
             reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
@@ -459,10 +504,15 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 zbad = vzi
                 for a in range(n_stack):
                     zbad = jnp.maximum(zbad, 1 - b2i(jnp.isfinite(z[a])))
+                # Only a CONVERGED, finite Newton solution may seed the next
+                # attempt's predictor (RADAU5 semantics; mirror of
+                # solver/radau.py): an unconverged z poisons the start and
+                # the poisoning self-sustains.
+                have_new = jnp.minimum(conv_i, 1) * (1 - zbad)
                 pred_new = (
                     jnp.where(act_i > 0, h_eff, c.pred[0]),
                     jnp.where(accept_i > 0, 1.0, jnp.where(act_i > 0, 0.0, c.pred[1])),
-                    jnp.where(act_i > 0, 1 - zbad, c.pred[2]),
+                    jnp.where(act_i > 0, have_new, c.pred[2]),
                 ) + tuple(
                     jnp.where(act_i > 0, z[a], c.pred[3 + a])
                     for a in range(n_stack)

@@ -104,16 +104,33 @@ class SolverConfig:
     newton_max_iter: int = 10
     newton_tol: float = 1e-8
 
+    # Reject (h := h/2) any step whose Newton iteration did not converge
+    # within newton_max_iter — RADAU5's rule.  The reference evaluates the
+    # embedded error from whatever Z the iteration left behind
+    # (radau_step_dense.cuh:141-162): an unconverged Z is not the collocation
+    # solution, its "error estimate" is meaningless, and such steps can be
+    # silently ACCEPTED with arbitrarily wrong states (measured 0.28 absolute
+    # error, 5e4 tolerance units, on the stiff bench scenario).  Not a
+    # reference_parity switch: the reference's Radau path is one of the
+    # deliberately-fixed-bug areas (SURVEY.md 2.4), and no golden artifact
+    # exercises it.
+    newton_reject_unconverged: bool = True
+
     # Newton starting values from the PREVIOUS attempt's collocation
     # polynomial (Hairer's RADAU5 W-extrapolation, H&W vol II IV.8): the new
     # stage slopes start at the Lagrange evaluation of the last attempt's
     # converged slopes at the new stage times — extrapolation past theta=1
     # after an accept, interpolation inside [0,1] after a reject — instead
     # of the reference's flat f(t, y) tile (radau_step_dense.cuh:87).
-    # Measured: ~9.5 -> ~3-4 Newton sweeps per attempt at the production
-    # operating point, which the fused kernel converts to wall time via its
-    # tile-gated tail sweeps.  Disabled under reference_parity.
-    radau_predictor: bool = True
+    # DEFAULT OFF: on genuinely stiff lanes (the only lanes the rung sees)
+    # the extrapolated start is WORSE than the f0 tile — measured 15k-82k
+    # attempts/lane with ~9.9 sweeps/attempt vs 1.9k-2.6k at 3.2 sweeps
+    # without it (round-3 regression: a 30x attempts blowup that cut the
+    # two-phase headline 14x, BENCH_r03).  The stage slopes of a stiff
+    # problem change violently between attempts whenever h moves, so the
+    # quadratic Lagrange extrapolation seeds Newton outside its basin;
+    # tests/test_radau_regression.py enforces the attempts budget.
+    radau_predictor: bool = False
 
     # Radau error estimate: 'embedded3' (default) is a consistent order-3
     # embedded estimate with step-control exponent 1/3; 'reference'

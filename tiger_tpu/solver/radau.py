@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tiger_tpu.forcing import ForcingSet, gather_forcings_column
@@ -113,9 +114,27 @@ def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig, z0=None):
         z0 = jnp.tile(f0, (3, 1))  # [3, N]
     eye = jnp.eye(3 * n, dtype=dtype)
 
+    # Convergence test, two exits OR-ed (either means "converged"):
+    #   (a) raw max|delta| < newton_tol — the reference's absolute criterion
+    #       (radau_step_dense.cuh:141), kept for continuity; for stiff lanes
+    #       whose slopes are O(1/h) this is unreachable in float32 (the
+    #       delta rounding floor is ~eps*|z|), so alone it death-spirals
+    #       under newton_reject_unconverged;
+    #   (b) the SCALED solution-units criterion (RADAU5's FNEWT, H&W vol II
+    #       IV.8): Newton error enters the committed step only through
+    #       h * sum_s b_s z_s, so require max_{s,i} h|delta_si| /
+    #       (atol + rtol|y_i|) < kappa with kappa = max(10*eps/rtol,
+    #       min(0.03, sqrt(rtol))) — dtype- and scale-aware, bounding the
+    #       step's Newton-induced error at kappa*tolerance.
+    kappa = max(
+        10.0 * float(jnp.finfo(dtype).eps) / cfg.rtol,
+        min(0.03, float(np.sqrt(cfg.rtol))),
+    )
+    tol_y = atol + rtol * jnp.abs(y)  # [N]
+
     def newton_cond(state):
-        _, it, maxd = state
-        return (it < cfg.newton_max_iter) & (maxd >= cfg.newton_tol)
+        _, it, done = state
+        return (it < cfg.newton_max_iter) & (~done)
 
     def newton_body(state):
         z, it, _ = state
@@ -128,20 +147,23 @@ def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig, z0=None):
         blocks = a_mat[:, :, None, None] * j_st[:, None, :, :]  # [s, sp, i, j]
         m_mat = eye - h * blocks.transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
         rhs_vec = (-z + f_st).reshape(3 * n)
-        delta = jnp.linalg.solve(m_mat, rhs_vec)
-        z = z + delta.reshape(3, n)
+        delta = jnp.linalg.solve(m_mat, rhs_vec).reshape(3, n)
+        z = z + delta
         maxd = jnp.max(jnp.abs(delta))
-        return z, it + 1, maxd
+        scaled = jnp.max(h * jnp.abs(delta) / tol_y[None, :])
+        done = (maxd < cfg.newton_tol) | (scaled < kappa) | jnp.isnan(maxd)
+        return z, it + 1, done
 
-    z, n_newton, _ = lax.while_loop(
-        newton_cond, newton_body, (z0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
+    z, n_newton, done = lax.while_loop(
+        newton_cond, newton_body, (z0, jnp.zeros((), jnp.int32), jnp.asarray(False))
     )
+    converged = done & jnp.isfinite(z).all()
 
     y_out = y + h * jnp.tensordot(b_vec, z, 1)
     y_err = h * jnp.tensordot(e_vec, z, 1)
     tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
     err = jnp.max(jnp.abs(y_err / tol))
-    return y_out, err, z, n_newton
+    return y_out, err, z, n_newton, converged
 
 
 def radau_dense(y, z, h, theta):
@@ -217,28 +239,43 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             return rhs(tt, yy, f_vals)
 
         if cfg.radau_predictor:
-            # Hairer W-extrapolation (SolverConfig.radau_predictor): start
-            # Newton at the previous attempt's collocation slopes evaluated
-            # at the new stage times.
+            # RADAU5's extrapolated Newton start (H&W vol II IV.8), done in
+            # VALUE space: predict the stage VALUES from the previous
+            # attempt's collocation polynomial P, then map the increments
+            # through A^{-1} to the slope unknowns,
+            #     Z0_i = (1/h) * sum_j A^{-1}[i,j] * (P(theta_j) - y).
+            # Round 3 extrapolated the SLOPES directly, which is
+            # ill-conditioned for stiff lanes (slope error ~ ||J|| * value
+            # error): attempts blew up ~30x (BENCH_r03).  theta is measured
+            # in the previous polynomial's coordinates: base 1 after an
+            # accept (y = P(1), extrapolation), base 0 after a reject
+            # (y = P(0), interpolation inside the failed step).
             ratio = h_eff / c.h_prev
             theta = c.z_base + jnp.asarray(tableau.RADAU_C, dtype) * ratio  # [3]
-            ls = lagrange_on_radau_nodes(theta)  # 3 x [3]
-            z_pred = sum(ls[j][:, None] * c.z_prev[j][None, :] for j in range(3))
+            w = jnp.asarray(tableau.RADAU_DENSE, dtype)  # [3, 3]
+            pw = jnp.stack([theta, theta**2, theta**3])  # [m, i]
+            pw0 = jnp.stack([c.z_base, c.z_base**2, c.z_base**3])  # [m]
+            i_th = w @ (pw - pw0[:, None])  # [s, i]: I_s(theta_i) - I_s(base)
+            v = c.h_prev * jnp.einsum("si,sn->in", i_th, c.z_prev)  # [i, N]
+            inv_a = jnp.asarray(tableau.RADAU_A_INV, dtype)
+            z_pred = (inv_a @ v) / h_eff  # [3, N]
             f0 = rhs_t(c.t, c.y)
-            # Quadratic EXTRAPOLATION is only sane a short way past the
-            # previous step (after a growth-capped accept theta <= 1+c*2);
-            # at large ratios the Lagrange basis blows up ~theta^2 and a
-            # garbage start makes Newton diverge (measured 36x the attempts
-            # on the stiff-rung workload before this guard).
             use = c.have_z & (ratio <= 2.0)
             z0 = jnp.where(use, z_pred, jnp.tile(f0, (3, 1)))
         else:
             z0 = None
 
-        y_next, err, z, n_newt = radau_step(
+        y_next, err, z, n_newt, newt_ok = radau_step(
             rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg, z0=z0
         )
-        accept = err <= 1.0
+        # A step whose Newton iteration did NOT converge is rejected
+        # unconditionally with h/2 (RADAU5's rule): its Z is not the
+        # collocation solution, so the embedded error estimate computed from
+        # it is meaningless and can pass the accept test with arbitrarily
+        # wrong states — measured 0.28 absolute error (5e4 tolerance units)
+        # in h_snow on the stiff bench scenario before this guard, from
+        # silently accepted unconverged steps at large h.
+        accept = (err <= 1.0) & (newt_ok | (not cfg.newton_reject_unconverged))
 
         if q_total > 0:
             dense_eval = lambda th: radau_dense(c.y, z, h_eff, th)
@@ -256,6 +293,9 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
         fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
         fac_rej = jnp.where(jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0))
         fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)
+        if cfg.newton_reject_unconverged:
+            # Newton failure says nothing about the error — halve (RADAU5).
+            fac_rej = jnp.where(newt_ok, fac_rej, 0.5)
         h_new = h_eff * jnp.where(accept, fac_acc, fac_rej)
 
         return _Carry(
@@ -269,12 +309,15 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             n_rej=c.n_rej + (~accept).astype(i32),
             n_att=c.n_att + 1,
             n_newt=c.n_newt + n_newt,
-            # A NaN-poisoned z (diverged Newton / NaN stages) must not seed
-            # the next attempt's predictor — fall back to the f0 tile there.
+            # Only a CONVERGED Newton solution may seed the next attempt's
+            # predictor (RADAU5 semantics): an unconverged z poisons the
+            # start, which makes the next Newton fail too — a self-
+            # sustaining loop that pinned sweeps at max_iter and blew
+            # attempts ~30x before this gate.
             z_prev=z,
             h_prev=h_eff,
             z_base=jnp.where(accept, 1.0, 0.0).astype(dtype),
-            have_z=jnp.isfinite(z).all() & jnp.asarray(True),
+            have_z=newt_ok & jnp.isfinite(z).all(),
             dense=dense,
         )
 

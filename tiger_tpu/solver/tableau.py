@@ -204,3 +204,12 @@ def _radau_dense_coeffs() -> np.ndarray:
 RADAU_DENSE = _radau_dense_coeffs()
 
 assert np.allclose(RADAU_DENSE.sum(axis=1), RADAU_B), "Radau dense must integrate to b"
+
+#: Inverse of RADAU_A — maps stage-value increments to stage slopes:
+#: Y = y + h*A@Z  <=>  Z = (1/h) * A^{-1} @ (Y - y).  Used by the Newton
+#: predictor, which extrapolates the previous collocation polynomial in
+#: VALUE space (well-conditioned; values are bounded by the trajectory) and
+#: converts to the slope unknowns — extrapolating the slopes directly is
+#: ill-conditioned for stiff systems (slope error ~ ||J|| * value error) and
+#: was the round-3 regression.
+RADAU_A_INV = np.linalg.inv(RADAU_A)
