@@ -382,14 +382,23 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 conv_i = jnp.minimum(jnp.maximum(conv_i, done), 1)
                 return z, conv_i, n_swp_step
 
-            # With good start values the lane-mean is ~2 sweeps (vs ~9.5
-            # from the f0 tile), but the TILE pays for its slowest lane:
-            # unroll 6 (covers the p99 lane) and run the remainder inside a
-            # tile-gated while loop that usually does ZERO iterations — a
-            # looped sweep costs ~2x an unrolled one (measured), so the
-            # unroll depth trades straggler coverage against loop entries.
-            n_unrolled = min(6, cfg.newton_max_iter) if cfg.radau_predictor \
-                else cfg.newton_max_iter
+            # Unroll depth vs tile-gated tail loop: the TILE pays for its
+            # slowest lane, so unroll enough sweeps to cover the typical
+            # worst lane and run the remainder inside a while loop that
+            # usually does ZERO iterations — a looped sweep costs ~2x an
+            # unrolled one (measured), so the depth trades straggler
+            # coverage against loop entries.  Full unroll was best at round
+            # 3's 9.5-sweep operating point; honest Newton-rejection moves
+            # the controller to step sizes where sweeps converge, so the
+            # economics are re-measurable via TT_RADAU_UNROLL.
+            import os as _os
+
+            _unroll_env = int(_os.environ.get("TT_RADAU_UNROLL", "0"))
+            if _unroll_env > 0:
+                n_unrolled = min(_unroll_env, cfg.newton_max_iter)
+            else:
+                n_unrolled = min(6, cfg.newton_max_iter) if cfg.radau_predictor \
+                    else cfg.newton_max_iter
             for _ in range(n_unrolled):
                 z, conv_i, n_swp_step = sweep(z, conv_i, n_swp_step)
             n_tail = cfg.newton_max_iter - n_unrolled
