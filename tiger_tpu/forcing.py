@@ -154,18 +154,48 @@ def _remap_concat_jit(grids, flats):
     )
 
 
-def gather_forcings_column(col: jax.Array, meta: ForcingMeta, t: jax.Array) -> jax.Array:
+#: Relative gather-index snap used when SolverConfig.forcing_step_align is
+#: on: sample index = floor(t/dt + ZOH_SNAP), so a lane whose float32 time
+#: landed an ulp BELOW the boundary its aligned step targeted still reads
+#: the new sample.  5e-4*dt of frozen-forcing exposure (~1.8 s at hourly
+#: cadence) is orders below every shipped tolerance; without alignment the
+#: raw reference indexing (floor(t/dt), rk45_kernel.cu:90-110) is used.
+ZOH_SNAP = 5e-4
+
+
+def gather_forcings_column(
+    col: jax.Array, meta: ForcingMeta, t: jax.Array, snap: float = 0.0
+) -> jax.Array:
     """Zero-order-hold gather for ONE system's forcing column at time t [min].
 
     ``col`` is data[:, s] (shape [T_total]); returns a length-nForc float32
     vector.  Matches rk45_kernel.cu:90-110: floor(t / dt_min) clamped to
-    [0, nT-1], block base = cumulative sum of previous blocks.
+    [0, nT-1], block base = cumulative sum of previous blocks.  ``snap``:
+    see ZOH_SNAP.
     """
     vals = []
     for off, n_t, dt in zip(meta.offsets, meta.n_steps, meta.dt_min):
-        idx = jnp.clip(jnp.floor(t / dt).astype(jnp.int32), 0, n_t - 1)
+        idx = jnp.clip(jnp.floor(t / dt + snap).astype(jnp.int32), 0, n_t - 1)
         vals.append(jax.lax.dynamic_index_in_dim(col, off + idx, keepdims=False))
     return jnp.stack(vals)
+
+
+def zoh_step_cap(meta: ForcingMeta, t: jax.Array, h_eff: jax.Array) -> jax.Array:
+    """Clamp ``h_eff`` so the step from ``t`` lands ON (never across) the
+    next ZOH forcing-sample boundary (SolverConfig.forcing_step_align).
+
+    Uses the same snapped index as the gather, so 'the sample this step
+    integrates' and 'the boundary this step must not cross' always agree.
+    Boundaries only exist inside each record — past the last sample the ZOH
+    clamps and there is nothing to align to (so year-long runs on a 2-day
+    record are not step-limited, they are just wrong in the reference way).
+    """
+    for n_t, dt in sorted(set(zip(meta.n_steps, meta.dt_min))):
+        k = jnp.floor(t / dt + ZOH_SNAP)
+        nb = (k + 1.0) * dt - t
+        nb = jnp.where(k + 1.0 >= n_t, jnp.inf, nb)
+        h_eff = jnp.minimum(h_eff, nb.astype(h_eff.dtype))
+    return h_eff
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tiger_tpu.forcing import ForcingSet
-from tiger_tpu.kernels.rk45_pallas import LANES, _gather_forcings
+from tiger_tpu.kernels.rk45_pallas import LANES, _gather_forcings, _zoh_step_cap
 from tiger_tpu.solver import tableau
 from tiger_tpu.solver.config import SolverConfig
 from tiger_tpu.solver.radau import RadauResult, RadauStats
@@ -137,6 +137,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
     expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
     n_stack = 3 * n_eq
 
+    from tiger_tpu.forcing import ZOH_SNAP
+
+    snap = ZOH_SNAP if (cfg.forcing_step_align and meta is not None) else 0.0
+
     def kernel(bounds_smem, qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
                yf_ref, dense_ref, failed_ref, stats_ref, hout_ref):
         dtype = y0_ref.dtype
@@ -210,6 +214,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             )
             t, y = c.t, c.y
             h_eff = jnp.where(t + c.h > tf_s, tf_s - t, c.h)
+            if snap:
+                # ZOH boundary alignment (SolverConfig.forcing_step_align).
+                h_eff = _zoh_step_cap(meta, t, h_eff)
 
             f_vals = None
             if meta is not None:
@@ -218,7 +225,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 t_act_min = jnp.min(jnp.where(act_i > 0, t, tf_s))
                 t_act_max = jnp.max(jnp.where(act_i > 0, t, t0_s))
                 f_vals = _gather_forcings(
-                    forc_ref, meta, t, dtype, t_act_min, t_act_max
+                    forc_ref, meta, t, dtype, t_act_min, t_act_max, snap=snap
                 )
 
             f0 = rhs(t, y, f_vals)

@@ -171,7 +171,8 @@ class _Carry(NamedTuple):
     n_att: jax.Array
 
 
-def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=None):
+def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=None,
+                     snap: float = 0.0):
     """ZOH gather for every lane: tuple of (R, 128) forcing values at time t.
 
     Lanes in a tile sit at similar times, so instead of scanning all n_t time
@@ -179,16 +180,17 @@ def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=No
     — almost always 1-2 iterations (adaptive steps are minutes, forcing steps
     are hours).  Callers that already reduced the tile's t-range pass
     ``t_min``/``t_max`` so each forcing derives its window arithmetically
-    instead of re-reducing.
+    instead of re-reducing.  ``snap``: forcing.ZOH_SNAP under
+    forcing_step_align, else 0 (raw reference indexing).
     """
     if t_min is None:
         t_min = jnp.min(t)
         t_max = jnp.max(t)
     vals = []
     for off, n_t, dt in zip(meta.offsets, meta.n_steps, meta.dt_min):
-        idx = jnp.clip((t / dt).astype(jnp.int32), 0, n_t - 1)
-        k_lo = jnp.clip((t_min / dt).astype(jnp.int32), 0, n_t - 1)
-        k_hi = jnp.clip((t_max / dt).astype(jnp.int32), 0, n_t - 1)
+        idx = jnp.clip((t / dt + snap).astype(jnp.int32), 0, n_t - 1)
+        k_lo = jnp.clip((t_min / dt + snap).astype(jnp.int32), 0, n_t - 1)
+        k_hi = jnp.clip((t_max / dt + snap).astype(jnp.int32), 0, n_t - 1)
 
         def body(k, acc):
             row = forc_ref[off + k]  # (R, 128) float32
@@ -198,11 +200,29 @@ def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=No
     return tuple(vals)
 
 
+def _zoh_step_cap(meta: ForcingMeta, t, h_eff):
+    """Kernel twin of forcing.zoh_step_cap: clamp h_eff at the next ZOH
+    sample boundary (same snapped index as the gather; no boundaries past
+    each record's end)."""
+    from tiger_tpu.forcing import ZOH_SNAP
+
+    for n_t, dt in sorted(set(zip(meta.n_steps, meta.dt_min))):
+        k = jnp.floor(t / dt + ZOH_SNAP)
+        nb = (k + 1.0) * dt - t
+        nb = jnp.where(k + 1.0 >= n_t, jnp.asarray(jnp.inf, t.dtype), nb)
+        h_eff = jnp.minimum(h_eff, nb)
+    return h_eff
+
+
 def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
     # Static GLOBAL span: the stiffness criterion h < span*min_step_fraction
     # (rk45_kernel.cu:167-170) always uses the full-run span, even when the
     # pipeline windows queries and each call integrates a sub-interval.
     span = tf - t0
+
+    from tiger_tpu.forcing import ZOH_SNAP
+
+    snap = ZOH_SNAP if (cfg.forcing_step_align and meta is not None) else 0.0
 
     dp_a, dp_c = tableau.DP_A, tableau.DP_C
     dp_b = tableau.DP_B
@@ -272,7 +292,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         if cfg.fsal:
             f0 = None
             if meta is not None:
-                f0 = _gather_forcings(forc_ref, meta, vz + t0_s, dtype)
+                f0 = _gather_forcings(forc_ref, meta, vz + t0_s, dtype, snap=snap)
             k0_init = rhs(vz + t0_s, y0, f0)
         else:
             k0_init = ()
@@ -329,6 +349,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             t, y = c.t, c.y
             clamp_i = b2i(t + c.h > tf_s)
             h_eff = jnp.where(clamp_i > 0, tf_s - t, c.h)
+            if snap:
+                # ZOH boundary alignment (SolverConfig.forcing_step_align).
+                h_eff = _zoh_step_cap(meta, t, h_eff)
 
             f_vals = None
             t_act_min = t_act_hi = None
@@ -347,7 +370,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                         jnp.where(act_i > 0, h_eff, 0.0)
                     )
                 f_vals = _gather_forcings(
-                    forc_ref, meta, t, dtype, t_act_min, t_act_hi
+                    forc_ref, meta, t, dtype, t_act_min, t_act_hi, snap=snap
                 )
 
             # FSAL: k1 comes from the carry (advanced lanes took last step's
@@ -599,15 +622,16 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 if meta is not None:
                     crossed = vzi
                     for n_t, dt in zip(meta.n_steps, meta.dt_min):
-                        io = jnp.clip((t / dt).astype(i32), 0, n_t - 1)
-                        iw = jnp.clip((t_new_v / dt).astype(i32), 0, n_t - 1)
+                        io = jnp.clip((t / dt + snap).astype(i32), 0, n_t - 1)
+                        iw = jnp.clip((t_new_v / dt + snap).astype(i32), 0, n_t - 1)
                         crossed = jnp.maximum(crossed, b2i(io != iw))
                     crossed = crossed * advance_i
 
                     @pl.when(jnp.max(crossed) > 0)
                     def _refresh():
                         f_new = _gather_forcings(
-                            forc_ref, meta, t_new_v, dtype, t_act_min, t_act_hi
+                            forc_ref, meta, t_new_v, dtype, t_act_min, t_act_hi,
+                            snap=snap,
                         )
                         fresh = rhs(t_new_v, y_new, f_new)
                         for i in range(n_eq):

@@ -87,6 +87,26 @@ class SolverConfig:
     # <= ~10 attempts (growth is x10 per accept).
     stiff_floor_streak: int = 64
 
+    # Clamp every attempted step at the next ZOH forcing-sample boundary
+    # (and snap the gather index by +5e-4*dt so a lane landing an ulp below
+    # a boundary reads the NEW sample its aligned step was aimed at).
+    # Forcing is frozen at step-start for all stages (reference parity,
+    # rk45_kernel.cu:84-116), so a step that CROSSES a sample boundary
+    # integrates the old value through the new interval — an O(h * delta_F)
+    # local error the error estimate cannot see (the frozen value is
+    # internally consistent).  Measured on the 2-day stiff bench scenario:
+    # 0.35 absolute error in h_snow (f64! — scheme error, not rounding) and
+    # order-larger h explosions under the 'radau5' estimate (h -> 383 min
+    # across 6 unseen rain samples, then violent rejection storms).  With
+    # alignment the frozen value is EXACT over every step: the scheme
+    # converges to the true ZOH solution, boundary rejection storms vanish,
+    # and the kink-halving treadmill (63-67%% of attempts on marginal lanes)
+    # disappears.  Cost: steps are bounded by the finest forcing cadence
+    # (>= 48 steps per 2-day run at hourly rain — far below typical step
+    # counts).  Disabled under reference_parity: the reference steps across
+    # boundaries (its artifacts embed the crossing errors).
+    forcing_step_align: bool = True
+
     # Step-shrink factor applied when the error norm is NaN (a stage produced
     # NaN/Inf).  CUDA's fmin(NaN, 1.0) == 1.0 leaves h unchanged in the
     # reference, so NaN steps re-reject at the same h until the stiffness
@@ -132,11 +152,22 @@ class SolverConfig:
     # tests/test_radau_regression.py enforces the attempts budget.
     radau_predictor: bool = False
 
-    # Radau error estimate: 'embedded3' (default) is a consistent order-3
-    # embedded estimate with step-control exponent 1/3; 'reference'
-    # reproduces the reference's inconsistent b_alt (radau_step_dense.cuh:73-77,
-    # exponent 1/5), whose O(h*f) error term caps steps near the tolerance —
-    # kept only as a behavioral-parity switch (see tableau.RADAU_E3 note).
+    # Radau error estimate:
+    #   'radau5'    — RADAU5's smoothed estimate (mu/h I - J)^{-1}(f0 + EA.Z)
+    #                 with exponent 1/4 and Newton-effort-aware safety
+    #                 (tableau.RADAU_MU_REAL note; SciPy's Radau is the same
+    #                 algorithm).  Runs the method at its real order-5 step
+    #                 economics — measured ~3x fewer attempts than
+    #                 'embedded3' on the stiff bench scenario at equal
+    #                 accuracy (the global error is ZOH-kink-dominated at
+    #                 these tolerances either way).
+    #   'embedded3' — consistent order-2-embedded difference, exponent 1/3:
+    #                 simple and conservative (h ~ tol^(1/3)); no Jacobian
+    #                 use in the estimate.
+    #   'reference' — the reference's inconsistent b_alt
+    #                 (radau_step_dense.cuh:73-77, exponent 1/5), whose
+    #                 O(h*f) error term caps steps near the tolerance — a
+    #                 behavioral-parity switch only (tableau.RADAU_E3 note).
     radau_error_mode: str = "embedded3"
 
     # Safety cap on total attempted steps per system (the reference has none and
@@ -225,6 +256,7 @@ class SolverConfig:
             radau_error_mode="reference",
             stiff_detect=False,
             radau_predictor=False,
+            forcing_step_align=False,
         )
         base.update(overrides)
         return cls(**base)
@@ -232,7 +264,7 @@ class SolverConfig:
     def __post_init__(self):
         if self.h0_mode not in ("per-system", "global-zero-y0"):
             raise ValueError(f"unknown h0_mode: {self.h0_mode}")
-        if self.radau_error_mode not in ("embedded3", "reference"):
+        if self.radau_error_mode not in ("radau5", "embedded3", "reference"):
             raise ValueError(f"unknown radau_error_mode: {self.radau_error_mode}")
         if self.dense_chunk < 1:
             raise ValueError("dense_chunk must be >= 1")

@@ -95,19 +95,22 @@ def lagrange_on_radau_nodes(theta):
     return tuple(out)
 
 
-def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig, z0=None):
-    """One attempted Radau IIA step; returns (y_out, err_norm, Z, n_newton).
+def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig, z0=None,
+               retry_on_reject=False, was_rejected=False):
+    """One attempted Radau IIA step; returns (y_out, err_norm, Z, n_newton,
+    converged).
 
     ``z0`` [3, N]: Newton starting slopes (default: f(t, y) tiled, the
-    reference's choice)."""
+    reference's choice).  ``retry_on_reject``/``was_rejected``: enable and
+    arm RADAU5's rejected-step error correction ('radau5' mode only)."""
     dtype = y.dtype
     n = y.shape[0]
     a_mat = jnp.asarray(tableau.RADAU_A, dtype)
     c_vec = jnp.asarray(tableau.RADAU_C, dtype)
     b_vec = jnp.asarray(tableau.RADAU_B, dtype)
 
-    e_np = tableau.RADAU_E3 if cfg.radau_error_mode == "embedded3" else tableau.RADAU_E
-    e_vec = jnp.asarray(e_np, dtype)
+    e_np = tableau.RADAU_E if cfg.radau_error_mode == "reference" else tableau.RADAU_E3
+    e_vec = jnp.asarray(e_np, dtype)  # unused in 'radau5' mode
 
     if z0 is None:
         f0 = rhs_t(t, y)
@@ -160,9 +163,33 @@ def radau_step(rhs_t, t, y, h, rtol, atol, cfg: SolverConfig, z0=None):
     converged = done & jnp.isfinite(z).all()
 
     y_out = y + h * jnp.tensordot(b_vec, z, 1)
-    y_err = h * jnp.tensordot(e_vec, z, 1)
     tol = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_out))
-    err = jnp.max(jnp.abs(y_err / tol))
+    if cfg.radau_error_mode == "radau5":
+        # RADAU5's smoothed estimate (tableau.RADAU_MU_REAL note; SciPy
+        # radau.py): e = (mu/h I - J)^{-1} (f(t,y) + sum_s EA_s Z_s).  The
+        # (mu/h I - J)^{-1} smoothing is what permits running the method at
+        # its real order-5 step sizes; the raw embedded difference forces
+        # h ~ tol^(1/3).
+        f0e, j_base = _fd_jacobian_and_f(rhs_t, t, y)
+        mu = jnp.asarray(tableau.RADAU_MU_REAL, dtype)
+        ea_vec = jnp.asarray(tableau.RADAU_ERR_EA, dtype)
+        m2 = (mu / h) * jnp.eye(n, dtype=dtype) - j_base
+        defect = f0e + jnp.tensordot(ea_vec, z, 1)
+        e = jnp.linalg.solve(m2, defect)
+        err = jnp.max(jnp.abs(e / tol))
+        if retry_on_reject:
+            # RADAU5's rejected-step correction (SciPy radau.py, H&W): when
+            # a previous attempt at this t already rejected and the raw
+            # estimate still reads > 1, re-evaluate the defect's f at the
+            # PERTURBED state y + e — on stiff components the raw estimate
+            # overestimates by O(h*lambda) and the corrected one collapses
+            # to the true size, avoiding futile h-halving spirals.
+            e2 = jnp.linalg.solve(m2, rhs_t(t, y + e) + defect - f0e)
+            err2 = jnp.max(jnp.abs(e2 / tol))
+            err = jnp.where((err > 1.0) & was_rejected, err2, err)
+    else:
+        y_err = h * jnp.tensordot(e_vec, z, 1)
+        err = jnp.max(jnp.abs(y_err / tol))
     return y_out, err, z, n_newton, converged
 
 
@@ -193,7 +220,8 @@ class _Carry(NamedTuple):
     dense: jax.Array
 
 
-def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
+def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig,
+                  step_cap=None):
     dtype = y0.dtype
     n = y0.shape[0]
     q_total = 0 if qt is None else qt.shape[0]
@@ -233,6 +261,9 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 
     def body(c: _Carry):
         h_eff = jnp.where(c.t + c.h > tf, tf - c.t, c.h)
+        if step_cap is not None:
+            # ZOH boundary alignment (SolverConfig.forcing_step_align).
+            h_eff = step_cap(c.t, h_eff)
         f_vals = gather(c.t) if gather is not None else None
 
         def rhs_t(tt, yy):
@@ -266,7 +297,9 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
             z0 = None
 
         y_next, err, z, n_newt, newt_ok = radau_step(
-            rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg, z0=z0
+            rhs_t, c.t, c.y, h_eff, cfg.rtol, cfg.atol, cfg, z0=z0,
+            retry_on_reject=cfg.radau_error_mode == "radau5",
+            was_rejected=c.reject > 0,
         )
         # A step whose Newton iteration did NOT converge is rejected
         # unconditionally with h/2 (RADAU5's rule): its Z is not the
@@ -287,9 +320,20 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
 
         # Step-control exponent: 1/(est_order + 1).  'reference' uses the
         # reference's 1/5 (radau_kernel.cu:123); 'embedded3' pairs 1/3 with
-        # the order-2-embedded estimate.
-        expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
-        raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
+        # the order-2-embedded estimate; 'radau5' pairs 1/4 with the
+        # smoothed estimate plus RADAU5's Newton-effort-aware safety
+        # 0.9*(2M+1)/(2M+n_iter) (a step that worked Newton hard gets less
+        # growth headroom, keeping h clear of the convergence boundary).
+        if cfg.radau_error_mode == "radau5":
+            expo = 0.25
+            m_it = cfg.newton_max_iter
+            safety = cfg.safety * (2.0 * m_it + 1.0) / (
+                2.0 * m_it + n_newt.astype(c.y.dtype)
+            )
+        else:
+            expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
+            safety = cfg.safety
+        raw_fac = safety * (1.0 / (err + 1e-16)) ** expo
         fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
         fac_rej = jnp.where(jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0))
         fac_rej = jnp.clip(fac_rej, cfg.min_scale, cfg.max_scale)

@@ -205,7 +205,8 @@ def fill_dense_queries(cfg, qt, dense, next_q, next_qt, t, h, dense_eval, active
     return lax.while_loop(cond, body, (dense, next_q, next_qt))
 
 
-def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
+def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig,
+                 step_cap=None):
     """Integrate ONE system t0 -> tf (vmapped over the batch by the caller).
 
     ``rhs(t, y, F)`` is the model RHS closed over this system's parameters;
@@ -249,6 +250,9 @@ def _rk45_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig):
     def body(c: _Carry):
         clamped = c.t + c.h > tf
         h_eff = jnp.where(clamped, tf - c.t, c.h)
+        if step_cap is not None:
+            # ZOH boundary alignment (SolverConfig.forcing_step_align).
+            h_eff = step_cap(c.t, h_eff)
         f_vals = gather(c.t) if gather is not None else None
 
         def rhs_t(tt, yy):
@@ -423,14 +427,19 @@ def vmap_system_solve(model, sys_fn, y0, h0, params, forc_data, meta,
         # whole [S] batch before the vmap.
         params = model.derived_params(params)
 
+    from tiger_tpu.forcing import ZOH_SNAP, zoh_step_cap
+
+    snap = ZOH_SNAP if (config.forcing_step_align and forc_data is not None) else 0.0
+
     def single(y0_row, h0_row, p_row, forc_col):
         def rhs(t, y, f_vals):
             return model.rhs(t + t_shift, y, p_row, f_vals)
 
         gather = None
         if forc_col is not None:
-            gather = lambda t: gather_forcings_column(forc_col, meta, t)
-        return sys_fn(rhs, gather, t0, tf, qt, y0_row, h0_row, config)
+            gather = lambda t: gather_forcings_column(forc_col, meta, t, snap)
+        step_cap = (lambda t, h: zoh_step_cap(meta, t, h)) if snap else None
+        return sys_fn(rhs, gather, t0, tf, qt, y0_row, h0_row, config, step_cap)
 
     in_axes = (0, 0, None if params is None else 0, None if forc_data is None else 1)
     return jax.vmap(single, in_axes=in_axes)(y0, h0, params, forc_data)

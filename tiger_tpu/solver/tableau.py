@@ -205,6 +205,24 @@ RADAU_DENSE = _radau_dense_coeffs()
 
 assert np.allclose(RADAU_DENSE.sum(axis=1), RADAU_B), "Radau dense must integrate to b"
 
+#: RADAU5's smoothed embedded error estimate (H&W vol II IV.8, eq. 8.19;
+#: SciPy scipy/integrate/_ivp/radau.py uses the identical constants):
+#:     err_vec = (MU_REAL/h * I - J)^{-1} (f(t, y) + sum_s RADAU_ERR_EA[s] Z_s)
+#: where Z_s are stage SLOPES (RADAU_ERR_EA = E @ A folds the reference
+#: E-weights, stated for stage-value increments, onto slopes) and MU_REAL is
+#: the real eigenvalue of A^{-1}.  The (mu/h I - J)^{-1} factor smooths the
+#: estimate for stiff components (|err| ~ h/mu * |quadrature defect| in the
+#: nonstiff limit, damped by 1/|h lambda| in the stiff limit), which is what
+#: lets the controller run the method at its real order-5 economics instead
+#: of the order-2 embedded difference's h ~ tol^(1/3).  Controlled with
+#: exponent 1/4 and the Newton-effort-aware safety
+#: 0.9*(2M+1)/(2M+n_iter) (both SciPy's).
+RADAU_MU_REAL = 3.0 + 3.0 ** (2.0 / 3.0) - 3.0 ** (1.0 / 3.0)
+
+RADAU_ERR_E = np.array([-13.0 - 7.0 * SQRT6, -13.0 + 7.0 * SQRT6, -1.0]) / 3.0
+
+RADAU_ERR_EA = RADAU_ERR_E @ RADAU_A
+
 #: Inverse of RADAU_A — maps stage-value increments to stage slopes:
 #: Y = y + h*A@Z  <=>  Z = (1/h) * A^{-1} @ (Y - y).  Used by the Newton
 #: predictor, which extrapolates the previous collocation polynomial in
