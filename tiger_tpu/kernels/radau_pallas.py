@@ -2,10 +2,12 @@
 
 Companion to rk45_pallas for the stiff subset: per (rows x 128)-lane tile the
 ENTIRE t0->tf implicit integration runs in one kernel with VMEM-resident
-state.  The 3N x 3N simplified-Newton system is held as N_STACK^2 separate
-(R, 128) lane-vectors and factorized with fully unrolled, unpivoted Doolittle
-LU — every lane solves its own 15x15 system simultaneously on the VPU (the
-CUDA reference does one scalar 15x15 per thread, small_lu.cuh:13-40).
+state.  The 3N x 3N simplified-Newton system is solved in the eigenbasis of
+A^{-1} (RADAU5's linear algebra, tableau._radau_eig): one real and one
+complex N x N unpivoted Doolittle LU per attempt, held as separate (R, 128)
+lane-vectors so every lane factorizes simultaneously on the VPU — ~5x fewer
+factorization FLOPs than the (3N)^2 LU (the CUDA reference does one scalar
+15x15 per thread, small_lu.cuh:13-40).
 
 Numerics follow tiger_tpu.solver.radau with ONE further deliberate
 divergence, noted here: the Jacobian is evaluated ONCE per attempted step at
@@ -46,21 +48,28 @@ _F32_EPS = float(np.finfo(np.float32).eps)
 
 def _per_lane_bytes(qp: int, n_eq: int, t_forc: int, n_params: int) -> int:
     """Per-lane VMEM estimate: dense block counted twice (Pallas double-
-    buffers the output block across grid steps) plus the (3N)^2 Newton
-    matrix, stage/scratch values, forcings and params."""
+    buffers the output block across grid steps) plus the eigenbasis Newton
+    factors (real + complex N x N + the FD Jacobian + temporaries, ~5 N^2),
+    stage/scratch values, forcings and params."""
     n_stack = 3 * n_eq
     return 4 * (
-        2 * qp * n_eq + t_forc + n_params + n_stack * n_stack + 10 * n_stack + 62
+        2 * qp * n_eq + t_forc + n_params + 5 * n_eq * n_eq + 10 * n_stack + 62
     )
 
 
 def _tile_row_candidates() -> tuple:
     """Tile heights to try, biggest first (TT_RADAU_TILE_ROWS pins one for
-    perf experiments)."""
+    perf experiments).
+
+    Capped at 16 rows: Mosaic compile time of the eigenbasis Newton body
+    grows superlinearly with tile height (~minutes at 8-16 rows, >30 min at
+    64 — the one fully-unrolled while body becomes a multi-10k-instruction
+    block), and the measured throughput gap between 16- and 64-row tiles is
+    far smaller than the compile-time cliff."""
     import os
 
     override = int(os.environ.get("TT_RADAU_TILE_ROWS", "0"))
-    return (override,) if override else (64, 32, 16, 8)
+    return (override,) if override else (16, 8)
 
 
 def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int) -> int:
@@ -71,7 +80,7 @@ def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int) -> int:
     per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
     n_stack = 3 * n_eq
     return int(
-        (per_lane_budget - t_forc - n_params - n_stack * n_stack - 10 * n_stack - 62)
+        (per_lane_budget - t_forc - n_params - 5 * n_eq * n_eq - 10 * n_stack - 62)
         // (2 * n_eq)
     )
 
@@ -128,13 +137,17 @@ class _Carry(NamedTuple):
     #              the next step against that collocation polynomial
 
 
-def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig):
+def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverConfig,
+                 interpret: bool = False):
     ra = tableau.RADAU_A  # (3,3) numpy
     rc = tableau.RADAU_C
     rb = tableau.RADAU_B
     re = tableau.RADAU_E3 if cfg.radau_error_mode == "embedded3" else tableau.RADAU_E
     rw = tableau.RADAU_DENSE  # (3,3): I_s(theta) monomial coefficients
-    expo = 1.0 / 3.0 if cfg.radau_error_mode == "embedded3" else 0.2
+    expo = {"embedded3": 1.0 / 3.0, "radau5": 0.25, "reference": 0.2}[
+        cfg.radau_error_mode
+    ]
+    radau5_err = cfg.radau_error_mode == "radau5"
     n_stack = 3 * n_eq
 
     from tiger_tpu.forcing import ZOH_SNAP
@@ -243,38 +256,118 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 for i in range(n_eq):
                     jac[i][j] = (f_p[i] - f0[i]) / h_eps
 
-            # ---- Newton matrix M = I - h A (x) J, unrolled (3N)^2 ----
-            mm = [[None] * n_stack for _ in range(n_stack)]
-            for s in range(3):
-                for sp in range(3):
-                    a_w = float(ra[s, sp])
-                    for i in range(n_eq):
-                        for j in range(n_eq):
-                            v = (-h_eff * a_w) * jac[i][j]
-                            if s == sp and i == j:
-                                v = v + 1.0
-                            mm[s * n_eq + i][sp * n_eq + j] = v
+            # ---- transformed Newton factorization (RADAU5 linear algebra,
+            # H&W vol II IV.8; tableau._radau_eig) ----
+            # (I - h A (x) J) is similar to blockdiag(gamma I - h J,
+            # (alpha+beta i) I - h J, conj): ONE real and ONE complex n x n
+            # unpivoted Doolittle LU replace the (3N)^2 one — ~5x fewer
+            # factorization FLOPs at N=5 (measured the (3N)^2 LU at ~34% of
+            # per-attempt cost on the v5e micro-bench).  All lane-parallel:
+            # each matrix entry is an (R, 128) lane-vector; complex entries
+            # are (re, im) pairs.
+            gam = float(tableau.RADAU_EIG_GAMMA)
+            alp = float(tableau.RADAU_EIG_ALPHA)
+            bet = float(tableau.RADAU_EIG_BETA)
+            v1 = [float(tableau.RADAU_EIG_V[s, 0].real) for s in range(3)]
+            v2r = [float(tableau.RADAU_EIG_V[s, 1].real) for s in range(3)]
+            v2i = [float(tableau.RADAU_EIG_V[s, 1].imag) for s in range(3)]
+            p1 = [float(tableau.RADAU_EIG_P[0, j].real) for j in range(3)]
+            p2r = [float(tableau.RADAU_EIG_P[1, j].real) for j in range(3)]
+            p2i = [float(tableau.RADAU_EIG_P[1, j].imag) for j in range(3)]
 
-            # ---- in-place unpivoted LU (Doolittle, multipliers stored) ----
-            for k in range(n_stack):
-                inv_piv = 1.0 / mm[k][k]
-                for i in range(k + 1, n_stack):
-                    m_ik = mm[i][k] * inv_piv
-                    mm[i][k] = m_ik
-                    for j in range(k + 1, n_stack):
-                        mm[i][j] = mm[i][j] - m_ik * mm[k][j]
+            # Real factor M_r = gamma I - h J.
+            mr = [
+                [
+                    (gam - h_eff * jac[i][j]) if i == j else (-h_eff) * jac[i][j]
+                    for j in range(n_eq)
+                ]
+                for i in range(n_eq)
+            ]
+            mr_inv_diag = [None] * n_eq
+            for k in range(n_eq):
+                mr_inv_diag[k] = 1.0 / mr[k][k]
+                for i in range(k + 1, n_eq):
+                    m_ik = mr[i][k] * mr_inv_diag[k]
+                    mr[i][k] = m_ik
+                    for j in range(k + 1, n_eq):
+                        mr[i][j] = mr[i][j] - m_ik * mr[k][j]
 
-            def lu_solve(bvec):
+            def real_solve(bvec):
                 x = list(bvec)
-                for k in range(n_stack):
-                    for i in range(k + 1, n_stack):
-                        x[i] = x[i] - mm[i][k] * x[k]
-                for k in reversed(range(n_stack)):
+                for k in range(n_eq):
+                    for i in range(k + 1, n_eq):
+                        x[i] = x[i] - mr[i][k] * x[k]
+                for k in reversed(range(n_eq)):
                     acc = x[k]
-                    for j in range(k + 1, n_stack):
-                        acc = acc - mm[k][j] * x[j]
-                    x[k] = acc / mm[k][k]
+                    for j in range(k + 1, n_eq):
+                        acc = acc - mr[k][j] * x[j]
+                    x[k] = acc * mr_inv_diag[k]
                 return x
+
+            # Complex factor M_c = (alpha + beta i) I - h J.
+            cre = [
+                [
+                    (alp - h_eff * jac[i][j]) if i == j else (-h_eff) * jac[i][j]
+                    for j in range(n_eq)
+                ]
+                for i in range(n_eq)
+            ]
+            cim = [
+                [
+                    (vz + bet) if i == j else vz
+                    for j in range(n_eq)
+                ]
+                for i in range(n_eq)
+            ]
+            c_invd = [None] * n_eq  # (re, im) of 1 / diag
+            for k in range(n_eq):
+                inv_den = 1.0 / (cre[k][k] * cre[k][k] + cim[k][k] * cim[k][k])
+                c_invd[k] = (cre[k][k] * inv_den, -cim[k][k] * inv_den)
+                for i in range(k + 1, n_eq):
+                    m_re = cre[i][k] * c_invd[k][0] - cim[i][k] * c_invd[k][1]
+                    m_im = cre[i][k] * c_invd[k][1] + cim[i][k] * c_invd[k][0]
+                    cre[i][k], cim[i][k] = m_re, m_im
+                    for j in range(k + 1, n_eq):
+                        cre[i][j] = cre[i][j] - (m_re * cre[k][j] - m_im * cim[k][j])
+                        cim[i][j] = cim[i][j] - (m_re * cim[k][j] + m_im * cre[k][j])
+
+            def cplx_solve(b_re, b_im):
+                xr, xi = list(b_re), list(b_im)
+                for k in range(n_eq):
+                    for i in range(k + 1, n_eq):
+                        xr[i] = xr[i] - (cre[i][k] * xr[k] - cim[i][k] * xi[k])
+                        xi[i] = xi[i] - (cre[i][k] * xi[k] + cim[i][k] * xr[k])
+                for k in reversed(range(n_eq)):
+                    ar, ai = xr[k], xi[k]
+                    for j in range(k + 1, n_eq):
+                        ar = ar - (cre[k][j] * xr[j] - cim[k][j] * xi[j])
+                        ai = ai - (cre[k][j] * xi[j] + cim[k][j] * xr[j])
+                    xr[k] = ar * c_invd[k][0] - ai * c_invd[k][1]
+                    xi[k] = ar * c_invd[k][1] + ai * c_invd[k][0]
+                return xr, xi
+
+            def solve_newton(bvec):
+                """(I - h A (x) J)^{-1} b via the eigenbasis: u = (P (x) I) b,
+                one real + one complex n x n solve, dZ = V w + conj."""
+                u1 = [
+                    p1[0] * bvec[i] + p1[1] * bvec[n_eq + i] + p1[2] * bvec[2 * n_eq + i]
+                    for i in range(n_eq)
+                ]
+                ucr = [
+                    p2r[0] * bvec[i] + p2r[1] * bvec[n_eq + i] + p2r[2] * bvec[2 * n_eq + i]
+                    for i in range(n_eq)
+                ]
+                uci = [
+                    p2i[0] * bvec[i] + p2i[1] * bvec[n_eq + i] + p2i[2] * bvec[2 * n_eq + i]
+                    for i in range(n_eq)
+                ]
+                w1 = real_solve(u1)
+                wr, wi = cplx_solve(ucr, uci)
+                return [
+                    v1[s] * w1[i] + 2.0 * (v2r[s] * wr[i] - v2i[s] * wi[i])
+                    for s in range(3)
+                    for i in range(n_eq)
+                ]
 
             # ---- Newton iteration on stage slopes Z (init f0) ----
             # UNROLLED masked sweeps, by measurement: a tile-wide
@@ -367,7 +460,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                     fs = rhs(t + float(rc[s]) * h_eff, tuple(ys), f_vals)
                     for i in range(n_eq):
                         bvec.append(fs[i] - z[s * n_eq + i])
-                delta = lu_solve(bvec)
+                delta = solve_newton(bvec)
                 upd = (1 - conv_i).astype(dtype)
                 n_swp_step = n_swp_step + (1 - conv_i)
                 maxd = jnp.zeros(shp, dtype)
@@ -394,18 +487,24 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             # worst lane and run the remainder inside a while loop that
             # usually does ZERO iterations — a looped sweep costs ~2x an
             # unrolled one (measured), so the depth trades straggler
-            # coverage against loop entries.  Full unroll was best at round
-            # 3's 9.5-sweep operating point; honest Newton-rejection moves
-            # the controller to step sizes where sweeps converge, so the
-            # economics are re-measurable via TT_RADAU_UNROLL.
+            # coverage against loop entries.  The eigenbasis sweep compiles
+            # SUPERLINEARLY in unroll depth on both backends (Mosaic: >700 s
+            # at 10 sweeps vs ~5 min at 6; XLA:CPU/LLVM: >400 s at 10 vs
+            # ~15 s at 2), so full unroll is no longer reachable — 6 covers
+            # the honest-Newton-rejection operating point (~3.2
+            # sweeps/attempt) with the tail loop as straggler insurance.
+            # TT_RADAU_UNROLL overrides for perf experiments.
             import os as _os
 
             _unroll_env = int(_os.environ.get("TT_RADAU_UNROLL", "0"))
             if _unroll_env > 0:
                 n_unrolled = min(_unroll_env, cfg.newton_max_iter)
+            elif interpret:
+                # Interpret mode is correctness-only: take the small-block
+                # shape that LLVM compiles fastest.
+                n_unrolled = min(2, cfg.newton_max_iter)
             else:
-                n_unrolled = min(6, cfg.newton_max_iter) if cfg.radau_predictor \
-                    else cfg.newton_max_iter
+                n_unrolled = min(6, cfg.newton_max_iter)
             for _ in range(n_unrolled):
                 z, conv_i, n_swp_step = sweep(z, conv_i, n_swp_step)
             n_tail = cfg.newton_max_iter - n_unrolled
@@ -432,17 +531,66 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 )
                 z = list(z_t)
 
-            # ---- step update + embedded error ----
+            # ---- step update + error estimate ----
             y_out = list(y)
-            err = jnp.zeros(shp, dtype)
-            err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
             for s in range(3):
                 for i in range(n_eq):
                     y_out[i] = y_out[i] + (h_eff * float(rb[s])) * z[s * n_eq + i]
-                    err_c[i] = err_c[i] + (h_eff * float(re[s])) * z[s * n_eq + i]
-            for i in range(n_eq):
-                tol = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))
-                err = jnp.maximum(err, jnp.abs(err_c[i] / tol))
+            tol_i = [
+                cfg.atol
+                + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))
+                for i in range(n_eq)
+            ]
+            err = jnp.zeros(shp, dtype)
+            if radau5_err:
+                # RADAU5's smoothed estimate (mirror of solver/radau.py,
+                # tableau.RADAU_MU_REAL note): e = (mu/h I - J)^{-1}
+                # (f0 + sum_s EA_s Z_s).  mu IS the real eigenvalue gamma
+                # (tableau asserts it), so (mu/h I - J)^{-1} = h M_r^{-1} —
+                # the smoothed error REUSES the Newton factorization: two
+                # triangular sweeps, no extra LU.
+                ea = tableau.RADAU_ERR_EA
+                defect = [
+                    f0[i]
+                    + float(ea[0]) * z[i]
+                    + float(ea[1]) * z[n_eq + i]
+                    + float(ea[2]) * z[2 * n_eq + i]
+                    for i in range(n_eq)
+                ]
+                e_vecs = [h_eff * v for v in real_solve(defect)]
+                for i in range(n_eq):
+                    err = jnp.maximum(err, jnp.abs(e_vecs[i] / tol_i[i]))
+                # Rejected-step correction (mirror of solver/radau.py): when
+                # a previous attempt at this t already rejected and the raw
+                # estimate still reads > 1, re-evaluate the defect's f at
+                # the PERTURBED state y + e — the raw estimate overshoots
+                # by O(h*lambda) on stiff components.  Tile-gated: the
+                # extra RHS eval + triangular solves run only on
+                # iterations where some lane is on a rejection streak with
+                # err > 1 (~8% of attempts at the operating point).
+                was_rej_i = b2i(c.reject > 0)
+                lane_retry = act_i * b2i(err > 1.0) * was_rej_i
+
+                def _with_retry(err_in):
+                    y_p = tuple(y[i] + e_vecs[i] for i in range(n_eq))
+                    f_p = rhs(t, y_p, f_vals)
+                    b2 = [f_p[i] + defect[i] - f0[i] for i in range(n_eq)]
+                    e2 = [h_eff * v for v in real_solve(b2)]
+                    err2 = jnp.zeros(shp, dtype)
+                    for i in range(n_eq):
+                        err2 = jnp.maximum(err2, jnp.abs(e2[i] / tol_i[i]))
+                    return jnp.where(lane_retry > 0, err2, err_in)
+
+                err = lax.cond(
+                    jnp.max(lane_retry) > 0, _with_retry, lambda e_in: e_in, err
+                )
+            else:
+                err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+                for s in range(3):
+                    for i in range(n_eq):
+                        err_c[i] = err_c[i] + (h_eff * float(re[s])) * z[s * n_eq + i]
+                for i in range(n_eq):
+                    err = jnp.maximum(err, jnp.abs(err_c[i] / tol_i[i]))
 
             if cfg.newton_reject_unconverged:
                 # Honest rejection (RADAU5; mirrors solver/radau.py): a lane
@@ -494,7 +642,18 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
                 lax.fori_loop(q_lo, q_hi, fill, 0)
 
-            raw_fac = cfg.safety * (1.0 / (err + 1e-16)) ** expo
+            if radau5_err:
+                # Newton-effort-aware safety (RADAU5; mirror of
+                # solver/radau.py): a lane that worked Newton hard gets less
+                # growth headroom, keeping h clear of the convergence
+                # boundary.
+                m_it = float(cfg.newton_max_iter)
+                safety = cfg.safety * (2.0 * m_it + 1.0) / (
+                    2.0 * m_it + n_swp_step.astype(dtype)
+                )
+            else:
+                safety = cfg.safety
+            raw_fac = safety * (1.0 / (err + 1e-16)) ** expo
             fac_acc = jnp.clip(raw_fac, cfg.min_scale, cfg.max_scale)
             fac_rej = jnp.where(
                 jnp.isnan(raw_fac), cfg.nan_shrink, jnp.minimum(raw_fac, 1.0)
@@ -661,7 +820,7 @@ def _pipeline(
     qp = max(q_total, 1) if q_chunk is None else q_chunk
     kernel = _make_kernel(
         model, param_fields, meta, t0, tf, n_eq,
-        q_total if q_chunk is None else q_chunk, config,
+        q_total if q_chunk is None else q_chunk, config, interpret=interpret,
     )
     row_map = lambda i: (0, i, 0)
     in_specs = [

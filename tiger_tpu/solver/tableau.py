@@ -223,6 +223,65 @@ RADAU_ERR_E = np.array([-13.0 - 7.0 * SQRT6, -13.0 + 7.0 * SQRT6, -1.0]) / 3.0
 
 RADAU_ERR_EA = RADAU_ERR_E @ RADAU_A
 
+def _radau_eig():
+    """Eigen-decomposition of A^{-1} for the transformed Newton solve.
+
+    RADAU5's real trick (H&W vol II IV.8 'the linear algebra'; decsol.f):
+    the simplified-Newton matrix (I - h A (x) J) is similar to the
+    block-diagonal (Lambda (x) I - h I (x) J) with Lambda = diag(gamma,
+    alpha+beta*i, alpha-beta*i) the eigenvalues of A^{-1} — so one real and
+    one complex n x n factorization replace the (3n)^2 one: 5x fewer
+    factorization FLOPs at n=5 (the complex LU costs ~4x a real one).
+    The constants here are derived numerically from RADAU_A rather than
+    hard-coded (they are exact functions of the tableau):
+
+      gamma  — the real eigenvalue of A^{-1} (== RADAU_MU_REAL);
+      alpha, beta — the complex pair alpha +/- beta*i;
+      V      — eigenvector matrix, column 0 real (the real eigenvector),
+               column 1 the alpha+beta*i eigenvector (column 2 = conj is
+               implicit and never stored);
+      P      — Lambda @ V^{-1}: row 0 real, row 1 complex.  Per Newton
+               sweep the transformed residual is u = (P (x) I) b and the
+               update is dZ_s = V[s,0] w1 + 2 Re(V[s,1] w_c).
+
+    Phase normalization is fixed (largest-|.| component of each eigenvector
+    made real-positive) so the constants are deterministic across numpy
+    versions.
+    """
+    lam, vec = np.linalg.eig(np.linalg.inv(RADAU_A))
+    i_real = int(np.argmin(np.abs(lam.imag)))
+    i_cplx = [i for i in range(3) if i != i_real and lam[i].imag > 0][0]
+    gamma = float(lam[i_real].real)
+    alpha = float(lam[i_cplx].real)
+    beta = float(lam[i_cplx].imag)
+    v1 = vec[:, i_real]
+    v1 = (v1 / v1[np.argmax(np.abs(v1))]).real  # real eigenvector
+    vc = vec[:, i_cplx]
+    vc = vc / vc[np.argmax(np.abs(vc))]  # phase-fixed complex eigenvector
+    v_mat = np.stack([v1.astype(complex), vc], axis=1)  # (3, 2)
+    # Full V including the conjugate column, for the inverse only.
+    v_full = np.stack([v1.astype(complex), vc, vc.conj()], axis=1)
+    p_full = np.diag([gamma, alpha + 1j * beta, alpha - 1j * beta]) @ np.linalg.inv(
+        v_full
+    )
+    assert np.max(np.abs(p_full[0].imag)) < 1e-12  # real eigen-row
+    return gamma, alpha, beta, v_mat, p_full[:2]
+
+
+#: See _radau_eig.  RADAU_EIG_GAMMA == RADAU_MU_REAL (the smoothed error
+#: estimate's (mu/h I - J) IS the real Newton factor, so with the transformed
+#: solve the 'radau5' error mode reuses the factorization for free).
+(
+    RADAU_EIG_GAMMA,
+    RADAU_EIG_ALPHA,
+    RADAU_EIG_BETA,
+    RADAU_EIG_V,
+    RADAU_EIG_P,
+) = _radau_eig()
+
+assert abs(RADAU_EIG_GAMMA - RADAU_MU_REAL) < 1e-12
+
+
 #: Inverse of RADAU_A — maps stage-value increments to stage slopes:
 #: Y = y + h*A@Z  <=>  Z = (1/h) * A^{-1} @ (Y - y).  Used by the Newton
 #: predictor, which extrapolates the previous collocation polynomial in

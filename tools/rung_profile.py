@@ -41,6 +41,11 @@ def main() -> None:
     p.add_argument("--no-queries", action="store_true")
     p.add_argument("--no-forcings", action="store_true")
     p.add_argument("--predictor", action="store_true")
+    p.add_argument(
+        "--error-mode", default="embedded3",
+        choices=["embedded3", "radau5", "reference"],
+        help="SolverConfig.radau_error_mode for the rung",
+    )
     p.add_argument("--cpu", action="store_true", help="interpreter smoke run")
     args = p.parse_args()
 
@@ -82,7 +87,8 @@ def main() -> None:
         qt = jnp.arange(0.0, tf + 1e-9, 60.0, dtype=jnp.float32)
     h0 = jnp.full((len(pad),), 1e-3, jnp.float32)
     cfg = SolverConfig(
-        rtol=1e-5, atol=1e-8, max_steps=100_000, radau_predictor=args.predictor
+        rtol=1e-5, atol=1e-8, max_steps=100_000, radau_predictor=args.predictor,
+        radau_error_mode=args.error_mode,
     )
 
     def run():
@@ -123,6 +129,7 @@ def main() -> None:
                 "queries": 0 if qt is None else int(qt.shape[0]),
                 "forcings": not args.no_forcings,
                 "predictor": args.predictor,
+                "error_mode": args.error_mode,
                 "unroll_env": os.environ.get("TT_RADAU_UNROLL", ""),
                 "tile_rows_env": os.environ.get("TT_RADAU_TILE_ROWS", ""),
                 "backend": jax.devices()[0].platform,
