@@ -504,7 +504,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 # shape that LLVM compiles fastest.
                 n_unrolled = min(2, cfg.newton_max_iter)
             else:
-                n_unrolled = min(6, cfg.newton_max_iter)
+                # 4 measured >= 6 at both operating points (rung 7.75 vs
+                # 7.94 us/iter at 3.2 sweeps/attempt; 131k micro 212M
+                # steps/s at 2.2 sweeps) and compiles faster.
+                n_unrolled = min(4, cfg.newton_max_iter)
             for _ in range(n_unrolled):
                 z, conv_i, n_swp_step = sweep(z, conv_i, n_swp_step)
             n_tail = cfg.newton_max_iter - n_unrolled
