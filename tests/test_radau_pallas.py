@@ -125,3 +125,34 @@ def test_radau_query_auto_windowing_matches_unwindowed(monkeypatch):
         np.asarray(win.dense), np.asarray(ref.dense), rtol=1e-3, atol=1e-5
     )
     assert not np.asarray(win.failed).any()
+
+
+def test_radau5_error_mode_kernel_matches_vmap():
+    # The fused kernel's 'radau5' smoothed estimate (reusing the real
+    # eigenbasis Newton factor, mu == gamma) vs the vmap implementation of
+    # the same algorithm: tolerance-level trajectory agreement and a
+    # comparable attempt budget on a genuinely stiff problem.
+    cfg = SolverConfig(
+        rtol=1e-4, atol=1e-6, max_steps=20_000, radau_error_mode="radau5"
+    )
+    s = 8
+    lam = -1e4
+    params = {"lam": jnp.full((s,), lam, jnp.float32)}
+    y0 = jnp.tile(jnp.asarray([2.0, 1.0], jnp.float32), (s, 1))
+    h0 = jnp.full((s,), 1e-4, jnp.float32)
+    qt = jnp.asarray([5.0, 10.0], jnp.float32)
+    ker = radau_solve_pallas(
+        Decay2(), y0, 0.0, 10.0, qt, params, h0=h0, config=cfg, interpret=True
+    )
+    ref = radau_solve(Decay2(), y0, 0.0, 10.0, qt, params, h0=h0, config=cfg)
+    assert not bool(np.asarray(ker.failed).any())
+    assert not bool(np.asarray(ref.failed).any())
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final), np.asarray(ref.y_final), rtol=5e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.dense), np.asarray(ref.dense), rtol=5e-3, atol=1e-4
+    )
+    att_k = int(np.asarray(ker.stats.n_attempts).sum())
+    att_v = int(np.asarray(ref.stats.n_attempts).sum())
+    assert att_k < 2 * att_v + 100, (att_k, att_v)

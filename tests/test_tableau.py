@@ -60,3 +60,38 @@ def test_radau_dense_is_collocation_integral():
         th = c[j]
         vals = w[:, 0] * th + w[:, 1] * th**2 + w[:, 2] * th**3
         np.testing.assert_allclose(vals, tableau.RADAU_A[j], atol=1e-13)
+
+
+def test_radau_eigenbasis_solves_newton_system():
+    # The transformed solve (tableau._radau_eig: u = (P (x) I) b, one real +
+    # one complex n x n solve, dZ = V w + conj) must reproduce the direct
+    # (I - h A (x) J)^{-1} b to machine precision for a general J — this is
+    # the identity the fused kernel's Newton core relies on.
+    rng = np.random.default_rng(7)
+    n = 5
+    jac = rng.normal(size=(n, n))
+    h = 0.41
+    m_big = np.eye(3 * n) - h * np.kron(tableau.RADAU_A, jac)
+    b = rng.normal(size=(3, n))
+    ref = np.linalg.solve(m_big, b.reshape(-1)).reshape(3, n)
+
+    gam, alp, bet = (
+        tableau.RADAU_EIG_GAMMA, tableau.RADAU_EIG_ALPHA, tableau.RADAU_EIG_BETA
+    )
+    p_mat, v_mat = tableau.RADAU_EIG_P, tableau.RADAU_EIG_V
+    u1 = np.einsum("j,jn->n", p_mat[0].real, b)
+    uc = np.einsum("j,jn->n", p_mat[1], b.astype(complex))
+    w1 = np.linalg.solve(gam * np.eye(n) - h * jac, u1)
+    wc = np.linalg.solve((alp + 1j * bet) * np.eye(n) - h * jac, uc)
+    dz = np.stack(
+        [v_mat[s, 0].real * w1 + 2.0 * np.real(v_mat[s, 1] * wc) for s in range(3)]
+    )
+    np.testing.assert_allclose(dz, ref, rtol=0, atol=1e-12)
+    # The real eigenvalue IS the smoothed-error mu (the kernel reuses the
+    # real factor for the 'radau5' estimate).
+    assert abs(gam - tableau.RADAU_MU_REAL) < 1e-12
+    # P row 0 is genuinely real (phase normalization) and the eigen pairs
+    # satisfy A^{-1} v = lambda v.
+    a_inv = np.linalg.inv(tableau.RADAU_A)
+    np.testing.assert_allclose(a_inv @ v_mat[:, 0].real, gam * v_mat[:, 0].real, atol=1e-12)
+    np.testing.assert_allclose(a_inv @ v_mat[:, 1], (alp + 1j * bet) * v_mat[:, 1], atol=1e-12)
