@@ -268,17 +268,20 @@ def solve(
         )
     _phase_mark("rk_phase", t_ph, rk.y_final, rk.dense)
 
-    # Count flags on device first: pulling the full [S] mask costs a
-    # device->host transfer that is pure waste in the common no-stiff case.
+    # ONE host round trip for flags: pull the whole [S] mask and count on the
+    # host.  A device-side count (`int(jnp.sum(...))`) costs the same sync
+    # RTT as the pull itself — ~20-30 ms over the remote-TPU tunnel, ~10% of
+    # the two-phase headline — and the mask payload (1 bit/lane) is
+    # negligible next to the RTT at any batch size.
     t_ph = _time.perf_counter()
-    n_stiff = int(jnp.sum(rk.stiff))
+    stiff_mask = _host_pull(rk.stiff)
+    n_stiff = int(stiff_mask.sum())
     _phase_mark("stiff_count_sync", t_ph)
     n_stiff_flagged = n_stiff
     # Cross-process GLOBAL mesh: host compaction works through _host_pull
     # (replicate-then-read); the per-process stiff pipeline runs redundantly
     # with identical inputs, and the jitted merges see replicated updates.
     glob = bool(n_stiff) and not getattr(rk.stiff, "is_fully_addressable", True)
-    stiff_mask = _host_pull(rk.stiff) if n_stiff else np.zeros(s_count, bool)
     y_final, dense = rk.y_final, rk.dense
     failed = rk.failed
     radau_stats = None
