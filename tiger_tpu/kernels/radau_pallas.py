@@ -666,6 +666,14 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 # Newton failure says nothing about the error — halve.
                 fac_rej = jnp.where(newt_fail_i > 0, 0.5, fac_rej)
             h_new = h_eff * jnp.where(accept_i > 0, fac_acc, fac_rej)
+            if cfg.radau_h_freeze_hi > 1.0:
+                # RADAU5's step freeze (mirror of solver/radau.py).
+                freeze_i = (
+                    accept_i
+                    * b2i(fac_acc >= 1.0)
+                    * b2i(fac_acc <= cfg.radau_h_freeze_hi)
+                )
+                h_new = jnp.where(freeze_i > 0, h_eff, h_new)
 
             reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
             failed_new = jnp.maximum(

@@ -152,6 +152,16 @@ class SolverConfig:
     # tests/test_radau_regression.py enforces the attempts budget.
     radau_predictor: bool = False
 
+    # RADAU5's step-size freeze (H&W vol II IV.8; quot1/quot2 in radau5.f):
+    # after an ACCEPTED step whose proposed growth factor lands in
+    # [1, radau_h_freeze_hi], keep h exactly unchanged instead of nudging it.
+    # Near the accept boundary the controller otherwise oscillates h by a few
+    # percent each step, re-rolling the error estimate across the accept
+    # threshold (the f32 'radau5' thrash: ~30% rejections); the freeze damps
+    # the oscillation, and in RADAU5 proper it also saves refactorizations.
+    # 1.0 disables (always apply the factor).
+    radau_h_freeze_hi: float = 1.0
+
     # Radau error estimate:
     #   'radau5'    — RADAU5's smoothed estimate (mu/h I - J)^{-1}(f0 + EA.Z)
     #                 with exponent 1/4 and Newton-effort-aware safety
@@ -278,6 +288,10 @@ class SolverConfig:
             raise ValueError("stiff_streak and stiff_forgive must be >= 1")
         if self.stiff_floor_streak < 1:
             raise ValueError("stiff_floor_streak must be >= 1")
+        if not 1.0 <= self.radau_h_freeze_hi <= 2.0:
+            raise ValueError(
+                f"radau_h_freeze_hi must be in [1, 2], got {self.radau_h_freeze_hi}"
+            )
         if not self.stiff_hlamb > 0.0:
             raise ValueError(f"stiff_hlamb must be > 0, got {self.stiff_hlamb}")
         if self.compensated and self.fsal:

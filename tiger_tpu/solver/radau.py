@@ -341,6 +341,13 @@ def _radau_system(rhs, gather, t0, tf, qt, y0, h0, cfg: SolverConfig,
             # Newton failure says nothing about the error — halve (RADAU5).
             fac_rej = jnp.where(newt_ok, fac_rej, 0.5)
         h_new = h_eff * jnp.where(accept, fac_acc, fac_rej)
+        if cfg.radau_h_freeze_hi > 1.0:
+            # RADAU5's step freeze (quot1/quot2): an accepted step whose
+            # proposed growth lands in [1, hi] keeps h EXACTLY — damps the
+            # few-percent h oscillation that re-rolls the error estimate
+            # across the accept threshold near the boundary.
+            freeze = accept & (fac_acc >= 1.0) & (fac_acc <= cfg.radau_h_freeze_hi)
+            h_new = jnp.where(freeze, h_eff, h_new)
 
         return _Carry(
             t=jnp.where(accept, c.t + h_eff, c.t),
