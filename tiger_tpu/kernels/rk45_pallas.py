@@ -737,13 +737,17 @@ def rk45_solve_pallas(
     integrate window-relative time but time-dependent physics (Model 200's
     doy) must see absolute time; forcing gathers stay window-relative.
     """
-    from tiger_tpu.solver.controller import initial_step
-
     y0 = jnp.asarray(y0, jnp.float32)
     s_count, n_eq = y0.shape
-    if h0 is None:
-        h0 = initial_step(model, y0, t0, params, forcings, config)
-    h0 = jnp.broadcast_to(jnp.asarray(h0, jnp.float32), (s_count,))
+    if h0 is None and config.initial_step is not None:
+        h0 = jnp.full((s_count,), config.initial_step, jnp.float32)
+    if h0 is not None:
+        # h0 is None stays None: the estimate is then traced INSIDE
+        # _pallas_pipeline's jit — one device program instead of two
+        # (the separately-jitted initial_step dispatch costs an extra
+        # program launch + h0 materialization per solve, ~20-30 ms over a
+        # remote-attached TPU).
+        h0 = jnp.broadcast_to(jnp.asarray(h0, jnp.float32), (s_count,))
 
     # Models that need Mosaic-safe math variants opt in via fields the kernel
     # switches on (e.g. Model 200's polynomial inverse-trig for Hamon PET).
@@ -810,6 +814,15 @@ def _pallas_pipeline(
 
         model = _dc.replace(model, approx_trig=True)
     s_count, n_eq = y0.shape
+    if h0 is None:
+        # Fused initial-step estimate: traced into THIS program so the
+        # whole solve is one dispatch (see rk45_solve_pallas).
+        from tiger_tpu.solver.controller import _initial_step_impl
+
+        h0 = _initial_step_impl.__wrapped__(
+            model, y0, t0, params, forc_data, meta, config,
+            jnp.asarray(t_shift, jnp.float32),
+        ).astype(jnp.float32)
     q_total = 0 if query_times is None else query_times.shape[0]
     t_forc = 1 if forc_data is None else forc_data.shape[0]
     n_par = max(len(param_fields), 1)

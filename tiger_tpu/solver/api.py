@@ -222,9 +222,6 @@ def solve(
     if backend not in ("auto", "pallas", "xla"):
         raise ValueError(f"backend must be auto|pallas|xla, got {backend!r}")
 
-    t_ph = _time.perf_counter()
-    h0 = initial_step(model, y0, t0, params, forcings, config, t_shift=t_shift)
-    _phase_mark("initial_step", t_ph, h0)
     # Platform from y0's COMMITTED device when it has one (a CPU-committed
     # batch on a TPU-attached host must take the XLA path, not the Mosaic
     # kernel); uncommitted arrays follow the process default device.
@@ -247,11 +244,17 @@ def solve(
         # Explicit backend='pallas' off-TPU runs the kernel interpreter
         # (slow; useful for debugging the kernel itself).
         interpret = jax.devices()[0].platform != "tpu"
+        # h0=None: the initial-step estimate is traced INTO the pipeline's
+        # jit (one device program instead of two; the estimate lands in
+        # rk.h0 for the stiff rung).
         rk = rk45_solve_pallas(
-            model, y0, t0, tf, query_times, params, forcings, h0, config,
+            model, y0, t0, tf, query_times, params, forcings, None, config,
             interpret=interpret, t_shift=t_shift,
         )
     elif mesh is not None:
+        h0 = initial_step(model, y0, t0, params, forcings, config, t_shift=t_shift)
+        _phase_mark("initial_step", t_ph, h0)
+        t_ph = _time.perf_counter()
         from tiger_tpu.dist import rk45_solve_sharded
 
         shard_backend = "pallas" if (backend == "pallas" or (
@@ -262,6 +265,9 @@ def solve(
             backend=shard_backend, t_shift=t_shift,
         )
     else:
+        h0 = initial_step(model, y0, t0, params, forcings, config, t_shift=t_shift)
+        _phase_mark("initial_step", t_ph, h0)
+        t_ph = _time.perf_counter()
         rk = rk45_solve(
             model, y0, t0, tf, query_times, params, forcings, h0, config,
             t_shift=t_shift,
