@@ -139,6 +139,29 @@ def _merge_gather_apply(y_final, dense, failed, rows, y_src, dense_src, rel):
     return y_final, dense, failed
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _merge_gather_apply_masked(y_final, dense, failed, rows, y_src, dense_src,
+                               failed_src):
+    """Device-AUTONOMOUS rung merge: failed lanes keep their current values
+    via an on-device mask, so the scatter needs no host-side ok-lane list —
+    it dispatches BEFORE the failed/stats pull and its execution overlaps
+    that ~25 ms tunnel round trip instead of serializing behind it.
+    ``rows`` carries out-of-range sentinels for bucket-padding lanes
+    (mode='drop')."""
+    safe = jnp.minimum(rows, y_final.shape[0] - 1)
+    cur_y = jnp.take(y_final, safe, axis=0)
+    cur_d = jnp.take(dense, safe, axis=0)
+    cur_f = jnp.take(failed, safe, axis=0)
+    m = failed_src
+    y_part = jnp.where(m[:, None], cur_y, y_src.astype(y_final.dtype))
+    d_part = jnp.where(m[:, None, None], cur_d, dense_src.astype(dense.dtype))
+    f_part = jnp.where(m, cur_f, jnp.zeros_like(cur_f))
+    y_final = y_final.at[rows].set(y_part, mode="drop")
+    dense = dense.at[rows].set(d_part, mode="drop")
+    failed = failed.at[rows].set(f_part, mode="drop")
+    return y_final, dense, failed
+
+
 @jax.jit
 def _gather_subset_jit(y0, h0, params, forc_data, rows):
     """Gather the stiff working set in ONE device program (the eager
@@ -357,8 +380,20 @@ def solve(
             interpret=jax.devices()[0].platform != "tpu",
             t_shift=t_shift,
         )
-        # ONE host round trip for everything the merge logic reads (each
-        # separate np.asarray pull costs ~10-20 ms over the remote-TPU
+        if not glob:
+            # Device-autonomous masked merge dispatched FIRST: its execution
+            # overlaps the failed/stats pull below (~25 ms tunnel RTT) —
+            # failed lanes keep their RK values via the on-device mask, so
+            # no host decision gates the scatter.  Bucket-padding lanes get
+            # out-of-range sentinel rows (dropped).
+            rows_all = np.full(len(pad0), s_count, np.int32)
+            rows_all[: len(idx0)] = idx0
+            y_final, dense, failed = _merge_gather_apply_masked(
+                y_final, dense, failed, jnp.asarray(rows_all),
+                rdk.y_final, rdk.dense, rdk.failed,
+            )
+        # ONE host round trip for everything the remaining host logic reads
+        # (each separate np.asarray pull costs ~10-20 ms over the remote-TPU
         # tunnel; failed + 4 stats fields serialized was ~0.1 s/solve).
         failed_np, stats_np = (
             jax.tree.map(_host_pull, (rdk.failed, rdk.stats))
@@ -366,21 +401,23 @@ def solve(
             else jax.device_get((rdk.failed, rdk.stats))
         )
         ok = ~failed_np[: len(idx0)]
-        ok_rel = np.nonzero(ok)[0]
-        if len(ok_rel):
-            b = _bucket(len(ok_rel))
-            rel_p = np.concatenate([ok_rel, np.zeros(b - len(ok_rel), ok_rel.dtype)])
-            rows_p = np.full(b, s_count, np.int32)  # sentinel rows -> dropped
-            rows_p[: len(ok_rel)] = idx0[ok_rel]
-            # Global mesh: the rung results are committed to THIS process's
-            # device — hand the jitted SPMD merge host copies (identical on
-            # every process) instead of mixing committed single-device
-            # arrays into a global-mesh program.
-            y_src = np.asarray(rdk.y_final) if glob else rdk.y_final
-            d_src = np.asarray(rdk.dense) if glob else rdk.dense
-            y_final, dense, failed = _merge_gather_apply(
-                y_final, dense, failed, rows_p, y_src, d_src, rel_p
-            )
+        if glob:
+            ok_rel = np.nonzero(ok)[0]
+            if len(ok_rel):
+                b = _bucket(len(ok_rel))
+                rel_p = np.concatenate(
+                    [ok_rel, np.zeros(b - len(ok_rel), ok_rel.dtype)]
+                )
+                rows_p = np.full(b, s_count, np.int32)  # sentinels -> dropped
+                rows_p[: len(ok_rel)] = idx0[ok_rel]
+                # Global mesh: the rung results are committed to THIS
+                # process's device — hand the jitted SPMD merge host copies
+                # (identical on every process) instead of mixing committed
+                # single-device arrays into a global-mesh program.
+                y_final, dense, failed = _merge_gather_apply(
+                    y_final, dense, failed, rows_p,
+                    np.asarray(rdk.y_final), np.asarray(rdk.dense), rel_p,
+                )
         # Per-lane counters for EVERY flagged lane (including ones whose
         # kernel attempt failed and falls through to the CPU retry below).
         radau_stats = _scatter_stats(radau_stats, stats_np, idx0, s_count)
