@@ -93,6 +93,11 @@ def main() -> None:
         "128-row tiles exceed scoped VMEM, so f32 stays the default)",
     )
     p.add_argument(
+        "--model", type=int, default=204, choices=[204, 200],
+        help="model family: 204 (headline) or 200 (Hamon-PET/ET variant; "
+        "exercises the Mosaic-safe polynomial inverse-trig in-kernel)",
+    )
+    p.add_argument(
         "--stiff-frac", type=float, default=0.001,
         help="fraction of systems made genuinely stiff (near-zero Hu) so the "
         "headline includes the two-phase RK45->Radau orchestration cost",
@@ -116,7 +121,7 @@ def main() -> None:
     enable_compile_cache()
 
     from __graft_entry__ import _scenario
-    from tiger_tpu.models import Model204
+    from tiger_tpu.models import Model200, Model204
     from tiger_tpu.solver.api import solve
     from tiger_tpu.solver.config import SolverConfig
     from tiger_tpu.solver.rk45 import rk45_solve
@@ -142,7 +147,7 @@ def main() -> None:
     dtype = jnp.float32
     s_count = args.systems
     tf = args.days * 1440.0
-    model = Model204()
+    model = Model204() if args.model == 204 else Model200()
     config = SolverConfig(
         rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal,
         forcing_dtype="bf16" if args.forcing_bf16 else "f32",
@@ -219,6 +224,8 @@ def main() -> None:
     # rung) than the bare-kernel micro-benchmark — separate baseline entries
     # so neither masquerades as a regression of the other.
     baseline_key = "two-phase" if two_phase else args.solver
+    if args.model != 204:
+        baseline_key = f"{baseline_key}-m{args.model}"
     baseline = read_baseline(
         baseline_path, baseline_key,
         expect={"systems": s_count, "backend": jax.devices()[0].platform},
@@ -251,12 +258,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    "model204_e2e_system_steps_per_s"
+                    f"model{args.model}_e2e_system_steps_per_s"
                     if two_phase
                     else (
-                        f"model204_{args.solver}_system_steps_per_s"
+                        f"model{args.model}_{args.solver}_system_steps_per_s"
                         if args.solver != "rk45"
-                        else "model204_system_steps_per_s"
+                        else f"model{args.model}_system_steps_per_s"
                     )
                 ),
                 "value": value,
