@@ -110,7 +110,10 @@ def test_radau_query_auto_windowing_matches_unwindowed(monkeypatch):
         Decay2(), y0, 0.0, 5.0, qt, params, h0=h0, config=CFG, interpret=True
     )
 
-    monkeypatch.setattr(rp, "_VMEM_BUDGET", 700_000)
+    # Budget chosen so the 30-query dense block overflows but a >= 8-query
+    # window fits next to the Newton region (whose estimate grew in round 5:
+    # carried reuse factors + radau5 error temporaries, _newton_region).
+    monkeypatch.setattr(rp, "_VMEM_BUDGET", 900_000)
     rows, qc = rp._plan_tiles(s, 30, 2, 1, 1)
     assert qc is not None  # windowing engaged
     win = radau_solve_pallas(
@@ -156,3 +159,33 @@ def test_radau5_error_mode_kernel_matches_vmap():
     att_k = int(np.asarray(ker.stats.n_attempts).sum())
     att_v = int(np.asarray(ref.stats.n_attempts).sum())
     assert att_k < 2 * att_v + 100, (att_k, att_v)
+
+
+def test_factor_reuse_optin_matches_default():
+    """radau_factor_reuse (opt-in; DESIGN.md round-5 negative): stale factors
+    are a quasi-Newton whose fixed point is the collocation solution, so the
+    trajectory must agree with the refactorize-every-attempt default to
+    controller tolerance, and RadauStats.n_fact must record genuine reuse
+    (factorizations < attempts)."""
+    s = 16
+    params = {"lam": jnp.full((s,), -80.0, jnp.float32)}
+    y0 = jnp.tile(jnp.asarray([2.0, 1.0], jnp.float32), (s, 1))
+    h0 = jnp.full((s,), 0.01, jnp.float32)
+    base = radau_solve_pallas(
+        Decay2(), y0, 0.0, 5.0, None, params, h0=h0, config=CFG, interpret=True
+    )
+    cfg_r = dataclasses.replace(CFG, radau_factor_reuse=True)
+    res = radau_solve_pallas(
+        Decay2(), y0, 0.0, 5.0, None, params, h0=h0, config=cfg_r, interpret=True
+    )
+    assert not bool(np.asarray(res.failed).any())
+    np.testing.assert_allclose(
+        np.asarray(res.y_final), np.asarray(base.y_final), rtol=5e-3, atol=1e-5
+    )
+    att = np.asarray(res.stats.n_attempts).sum()
+    fct = np.asarray(res.stats.n_fact).sum()
+    assert 0 < fct < att, (fct, att)
+    # The default path factorizes every attempt by construction.
+    np.testing.assert_array_equal(
+        np.asarray(base.stats.n_fact), np.asarray(base.stats.n_attempts)
+    )

@@ -16,6 +16,11 @@ RADAU5) — rather than re-evaluated at every stage point on every Newton
 iteration (radau_step_dense.cuh:96-129), which would cost 6x more RHS
 evaluations for no accuracy benefit on these mild Jacobians.  The embedded
 error weights and step controller match SolverConfig.radau_error_mode.
+Cross-STEP factor reuse (RADAU5's full economics) exists behind
+SolverConfig.radau_factor_reuse — scratch-ref factors, tile-gated refresh,
+per-lane n_fact accounting — but defaults OFF: a measured negative on this
+workload (DESIGN.md round-5 findings; tile gates saturate and the
+factorization share is too small post-eigenbasis).
 
 All the Mosaic workarounds from rk45_pallas apply (i32 mask algebra, varying
 carry init, refs for dynamic indexing, 2-D-only state), and the same
@@ -46,15 +51,22 @@ _VMEM_BUDGET = 9 * 2**20
 _F32_EPS = float(np.finfo(np.float32).eps)
 
 
+def _newton_region(n_eq: int) -> int:
+    """Per-lane f32 count of the eigenbasis Newton working set: the CARRIED
+    factors (real 25 + complex 50 + diag inverses 15 + h_fact, ~3 N^2 + 2 N,
+    live across while iterations under radau_factor_reuse), the refresh-path
+    temporaries (FD Jacobian N^2 + in-progress elimination rows), and the
+    radau5 error-mode live vectors (defect, e_vecs, retry f_p/b2/e2, ~5 N —
+    previously unbudgeted; they ride inside the 12*n_stack term)."""
+    n_stack = 3 * n_eq
+    return 9 * n_eq * n_eq + 12 * n_stack + 80
+
+
 def _per_lane_bytes(qp: int, n_eq: int, t_forc: int, n_params: int) -> int:
     """Per-lane VMEM estimate: dense block counted twice (Pallas double-
-    buffers the output block across grid steps) plus the eigenbasis Newton
-    factors (real + complex N x N + the FD Jacobian + temporaries, ~5 N^2),
-    stage/scratch values, forcings and params."""
-    n_stack = 3 * n_eq
-    return 4 * (
-        2 * qp * n_eq + t_forc + n_params + 5 * n_eq * n_eq + 10 * n_stack + 62
-    )
+    buffers the output block across grid steps) plus the Newton region
+    (_newton_region), stage/scratch values, forcings and params."""
+    return 4 * (2 * qp * n_eq + t_forc + n_params + _newton_region(n_eq))
 
 
 def _tile_row_candidates() -> tuple:
@@ -78,10 +90,8 @@ def _query_window_size(n_eq: int, t_forc: int, n_params: int, rows: int) -> int:
     May return <= 0 (infeasible) — callers must not clamp, or the planner's
     actionable 'stream the time dimension' error becomes unreachable."""
     per_lane_budget = _VMEM_BUDGET // (4 * rows * LANES)
-    n_stack = 3 * n_eq
     return int(
-        (per_lane_budget - t_forc - n_params - 5 * n_eq * n_eq - 10 * n_stack - 62)
-        // (2 * n_eq)
+        (per_lane_budget - t_forc - n_params - _newton_region(n_eq)) // (2 * n_eq)
     )
 
 
@@ -131,6 +141,8 @@ class _Carry(NamedTuple):
     n_rej: jax.Array
     n_att: jax.Array
     n_swp: jax.Array  # (R, 128) i32: Newton sweeps each lane sat through
+    n_fct: jax.Array  # (R, 128) i32: factorizations paid (tile-gated refresh)
+    refresh: jax.Array  # (R, 128) i32: lane wants fresh factors next attempt
     pred: tuple  # Newton-predictor state (cfg.radau_predictor, else empty):
     #              (h_prev, z_base, have_i, *z_prev[n_stack]) — the previous
     #              attempt's converged stage slopes and the theta offset of
@@ -155,7 +167,13 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
     snap = ZOH_SNAP if (cfg.forcing_step_align and meta is not None) else 0.0
 
     def kernel(bounds_smem, qt_smem, qt_ref, y0_ref, h0_ref, params_ref, forc_ref,
-               yf_ref, dense_ref, failed_ref, stats_ref, hout_ref):
+               yf_ref, dense_ref, failed_ref, stats_ref, hout_ref, *scratch):
+        # scratch[0] (radau_factor_reuse only): the eigenbasis factor block
+        # [1 + 3 N^2 + 3 N, R, 128] — h_fact, mr, mr_inv_diag, cre, cim,
+        # c_invd re/im.  A VMEM scratch REF, not a while-loop carry: carrying
+        # the ~91 lane-vectors functionally costs a phi-copy of ~0.7 MB per
+        # while iteration (measured 11% end-to-end before this design).
+        fact_ref = scratch[0] if scratch else None
         dtype = y0_ref.dtype
         # Window bounds are DYNAMIC scalars (SMEM) so the query-windowed
         # pipeline can lax.scan one compiled kernel over sub-intervals;
@@ -208,6 +226,12 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             n_rej=vzi,
             n_att=vzi,
             n_swp=vzi,
+            n_fct=vzi,
+            # Every lane votes refresh before the first attempt (the factor
+            # scratch holds garbage until the first store).  The scratch is
+            # NOT carried across query windows — each window's first attempt
+            # refactorizes once.
+            refresh=vzi + 1,
             # Predictor state starts empty (have=0 -> f0-tile start values);
             # NOT carried across query windows — the first attempt of each
             # window re-seeds from f0, which costs a few extra sweeps once.
@@ -243,28 +267,6 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
 
             f0 = rhs(t, y, f_vals)
 
-            # ---- Jacobian (FD, once per step at (t, y)) ----
-            # dtype-aware step: the reference's sqrt(1e-16)=1e-8
-            # (radau_step_dense.cuh:20) is below float32 resolution — the
-            # perturbation would vanish and the Jacobian degenerate.
-            eps = float(np.sqrt(np.finfo(np.dtype(dtype.name)).eps))
-            jac = [[None] * n_eq for _ in range(n_eq)]
-            for j in range(n_eq):
-                h_eps = eps * jnp.maximum(1.0, jnp.abs(y[j]))
-                y_pert = tuple(y[i] + (h_eps if i == j else 0.0) for i in range(n_eq))
-                f_p = rhs(t, y_pert, f_vals)
-                for i in range(n_eq):
-                    jac[i][j] = (f_p[i] - f0[i]) / h_eps
-
-            # ---- transformed Newton factorization (RADAU5 linear algebra,
-            # H&W vol II IV.8; tableau._radau_eig) ----
-            # (I - h A (x) J) is similar to blockdiag(gamma I - h J,
-            # (alpha+beta i) I - h J, conj): ONE real and ONE complex n x n
-            # unpivoted Doolittle LU replace the (3N)^2 one — ~5x fewer
-            # factorization FLOPs at N=5 (measured the (3N)^2 LU at ~34% of
-            # per-attempt cost on the v5e micro-bench).  All lane-parallel:
-            # each matrix entry is an (R, 128) lane-vector; complex entries
-            # are (re, im) pairs.
             gam = float(tableau.RADAU_EIG_GAMMA)
             alp = float(tableau.RADAU_EIG_ALPHA)
             bet = float(tableau.RADAU_EIG_BETA)
@@ -275,22 +277,135 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             p2r = [float(tableau.RADAU_EIG_P[1, j].real) for j in range(3)]
             p2i = [float(tableau.RADAU_EIG_P[1, j].imag) for j in range(3)]
 
-            # Real factor M_r = gamma I - h J.
-            mr = [
-                [
-                    (gam - h_eff * jac[i][j]) if i == j else (-h_eff) * jac[i][j]
-                    for j in range(n_eq)
+            def compute_factors():
+                """FD Jacobian at (t, y) + the transformed Newton
+                factorization (RADAU5 linear algebra, H&W vol II IV.8;
+                tableau._radau_eig): (I - h A (x) J) is similar to
+                blockdiag(gamma I - h J, (alpha+beta i) I - h J, conj), so
+                ONE real and ONE complex n x n unpivoted Doolittle LU
+                replace the (3N)^2 one — ~5x fewer factorization FLOPs at
+                N=5 (the CUDA reference refactorizes the full 15x15 every
+                Newton iteration, radau_step_dense.cuh:90-141).  All
+                lane-parallel: each matrix entry is an (R, 128) lane-vector;
+                complex entries are (re, im) pairs.  Returns the flat
+                carried-factor tuple (see _Carry.fact)."""
+                # dtype-aware FD step: the reference's sqrt(1e-16)=1e-8
+                # (radau_step_dense.cuh:20) is below float32 resolution —
+                # the perturbation would vanish and the Jacobian degenerate.
+                eps = float(np.sqrt(np.finfo(np.dtype(dtype.name)).eps))
+                jac = [[None] * n_eq for _ in range(n_eq)]
+                for j in range(n_eq):
+                    h_eps = eps * jnp.maximum(1.0, jnp.abs(y[j]))
+                    y_pert = tuple(
+                        y[i] + (h_eps if i == j else 0.0) for i in range(n_eq)
+                    )
+                    f_p = rhs(t, y_pert, f_vals)
+                    for i in range(n_eq):
+                        jac[i][j] = (f_p[i] - f0[i]) / h_eps
+
+                # Real factor M_r = gamma I - h J.
+                mr = [
+                    [
+                        (gam - h_eff * jac[i][j]) if i == j else (-h_eff) * jac[i][j]
+                        for j in range(n_eq)
+                    ]
+                    for i in range(n_eq)
                 ]
+                mr_inv = [None] * n_eq
+                for k in range(n_eq):
+                    mr_inv[k] = 1.0 / mr[k][k]
+                    for i in range(k + 1, n_eq):
+                        m_ik = mr[i][k] * mr_inv[k]
+                        mr[i][k] = m_ik
+                        for j in range(k + 1, n_eq):
+                            mr[i][j] = mr[i][j] - m_ik * mr[k][j]
+
+                # Complex factor M_c = (alpha + beta i) I - h J.
+                cre = [
+                    [
+                        (alp - h_eff * jac[i][j]) if i == j else (-h_eff) * jac[i][j]
+                        for j in range(n_eq)
+                    ]
+                    for i in range(n_eq)
+                ]
+                cim = [
+                    [(vz + bet) if i == j else vz for j in range(n_eq)]
+                    for i in range(n_eq)
+                ]
+                c_invd = [None] * n_eq  # (re, im) of 1 / diag
+                for k in range(n_eq):
+                    inv_den = 1.0 / (cre[k][k] * cre[k][k] + cim[k][k] * cim[k][k])
+                    c_invd[k] = (cre[k][k] * inv_den, -cim[k][k] * inv_den)
+                    for i in range(k + 1, n_eq):
+                        m_re = cre[i][k] * c_invd[k][0] - cim[i][k] * c_invd[k][1]
+                        m_im = cre[i][k] * c_invd[k][1] + cim[i][k] * c_invd[k][0]
+                        cre[i][k], cim[i][k] = m_re, m_im
+                        for j in range(k + 1, n_eq):
+                            cre[i][j] = cre[i][j] - (m_re * cre[k][j] - m_im * cim[k][j])
+                            cim[i][j] = cim[i][j] - (m_re * cim[k][j] + m_im * cre[k][j])
+
+                flat = [h_eff + vz]
+                flat += [mr[i][j] for i in range(n_eq) for j in range(n_eq)]
+                flat += mr_inv
+                flat += [cre[i][j] for i in range(n_eq) for j in range(n_eq)]
+                flat += [cim[i][j] for i in range(n_eq) for j in range(n_eq)]
+                flat += [c_invd[k][0] for k in range(n_eq)]
+                flat += [c_invd[k][1] for k in range(n_eq)]
+                return tuple(flat)
+
+            nsq = n_eq * n_eq
+            if cfg.radau_factor_reuse:
+                # Cross-step factor reuse (SolverConfig.radau_factor_reuse):
+                # recompute Jacobian + both LUs only on iterations where some
+                # active lane voted for a refresh; otherwise the scratch-
+                # resident factors serve as a quasi-Newton matrix (the
+                # residual bvec is exact, so the fixed point is unchanged —
+                # staleness only slows contraction, which the already-paid
+                # unrolled sweeps absorb and honest rejection backstops).
+                # The h-divergence guard compares THIS attempt's effective h
+                # (after the tf clamp and the ZOH step cap) with the factored
+                # h: voting on the controller's raw h_new at the end of the
+                # previous attempt fired on ~94% of iterations, because a
+                # cap-pinned lane's carried h can sit 10x above the h_eff
+                # that every one of its attempts actually uses.
+                h_fact_prev = fact_ref[0]
+                ratio0 = h_eff / h_fact_prev
+                band_bad = (
+                    b2i(ratio0 < cfg.radau_reuse_lo)
+                    + b2i(ratio0 > cfg.radau_reuse_hi)
+                    + b2i(jnp.isnan(ratio0))
+                )
+                refresh_now = jnp.max(
+                    act_i * jnp.minimum(c.refresh + band_bad, 1)
+                )
+
+                @pl.when(refresh_now > 0)
+                def _store_factors():
+                    flat = compute_factors()
+                    for k, v in enumerate(flat):
+                        fact_ref[k] = v
+
+                fact = [fact_ref[k] for k in range(1 + 3 * nsq + 3 * n_eq)]
+            else:
+                refresh_now = jnp.ones((), i32)
+                fact = compute_factors()
+
+            # Unpack the flat factor block (fresh or reused).
+            h_fact = fact[0]
+            mr = [
+                [fact[1 + i * n_eq + j] for j in range(n_eq)] for i in range(n_eq)
+            ]
+            mr_inv_diag = [fact[1 + nsq + k] for k in range(n_eq)]
+            _o = 1 + nsq + n_eq
+            cre = [
+                [fact[_o + i * n_eq + j] for j in range(n_eq)] for i in range(n_eq)
+            ]
+            cim = [
+                [fact[_o + nsq + i * n_eq + j] for j in range(n_eq)]
                 for i in range(n_eq)
             ]
-            mr_inv_diag = [None] * n_eq
-            for k in range(n_eq):
-                mr_inv_diag[k] = 1.0 / mr[k][k]
-                for i in range(k + 1, n_eq):
-                    m_ik = mr[i][k] * mr_inv_diag[k]
-                    mr[i][k] = m_ik
-                    for j in range(k + 1, n_eq):
-                        mr[i][j] = mr[i][j] - m_ik * mr[k][j]
+            _o2 = _o + 2 * nsq
+            c_invd = [(fact[_o2 + k], fact[_o2 + n_eq + k]) for k in range(n_eq)]
 
             def real_solve(bvec):
                 x = list(bvec)
@@ -303,33 +418,6 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                         acc = acc - mr[k][j] * x[j]
                     x[k] = acc * mr_inv_diag[k]
                 return x
-
-            # Complex factor M_c = (alpha + beta i) I - h J.
-            cre = [
-                [
-                    (alp - h_eff * jac[i][j]) if i == j else (-h_eff) * jac[i][j]
-                    for j in range(n_eq)
-                ]
-                for i in range(n_eq)
-            ]
-            cim = [
-                [
-                    (vz + bet) if i == j else vz
-                    for j in range(n_eq)
-                ]
-                for i in range(n_eq)
-            ]
-            c_invd = [None] * n_eq  # (re, im) of 1 / diag
-            for k in range(n_eq):
-                inv_den = 1.0 / (cre[k][k] * cre[k][k] + cim[k][k] * cim[k][k])
-                c_invd[k] = (cre[k][k] * inv_den, -cim[k][k] * inv_den)
-                for i in range(k + 1, n_eq):
-                    m_re = cre[i][k] * c_invd[k][0] - cim[i][k] * c_invd[k][1]
-                    m_im = cre[i][k] * c_invd[k][1] + cim[i][k] * c_invd[k][0]
-                    cre[i][k], cim[i][k] = m_re, m_im
-                    for j in range(k + 1, n_eq):
-                        cre[i][j] = cre[i][j] - (m_re * cre[k][j] - m_im * cim[k][j])
-                        cim[i][j] = cim[i][j] - (m_re * cim[k][j] + m_im * cre[k][j])
 
             def cplx_solve(b_re, b_im):
                 xr, xi = list(b_re), list(b_im)
@@ -560,7 +648,10 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                     + float(ea[2]) * z[2 * n_eq + i]
                     for i in range(n_eq)
                 ]
-                e_vecs = [h_eff * v for v in real_solve(defect)]
+                # h_fact, not h_eff: (mu/h I - J)^{-1} = h M_r^{-1} holds for
+                # the h the carried factors were BUILT with (h_fact == h_eff
+                # whenever factors are fresh or reuse is off).
+                e_vecs = [h_fact * v for v in real_solve(defect)]
                 for i in range(n_eq):
                     err = jnp.maximum(err, jnp.abs(e_vecs[i] / tol_i[i]))
                 # Rejected-step correction (mirror of solver/radau.py): when
@@ -578,7 +669,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                     y_p = tuple(y[i] + e_vecs[i] for i in range(n_eq))
                     f_p = rhs(t, y_p, f_vals)
                     b2 = [f_p[i] + defect[i] - f0[i] for i in range(n_eq)]
-                    e2 = [h_eff * v for v in real_solve(b2)]
+                    e2 = [h_fact * v for v in real_solve(b2)]
                     err2 = jnp.zeros(shp, dtype)
                     for i in range(n_eq):
                         err2 = jnp.maximum(err2, jnp.abs(e2[i] / tol_i[i]))
@@ -675,6 +766,24 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 )
                 h_new = jnp.where(freeze_i > 0, h_eff, h_new)
 
+            if cfg.radau_factor_reuse:
+                # Next-attempt refresh votes (per lane; the gate is the
+                # tile-wide max): slow Newton contraction (RADAU5's theta
+                # test by sweep-count proxy — sweeps beyond the unroll depth
+                # are the first work staleness actually costs) or outright
+                # Newton failure.  The h-divergence band is checked at the
+                # START of the next attempt against its post-cap h_eff.
+                stale_i = (
+                    b2i(n_swp_step >= cfg.radau_refresh_sweeps) + newt_fail_i
+                )
+                refresh_new = jnp.where(
+                    act_i > 0, jnp.minimum(stale_i, 1), c.refresh
+                )
+                n_fct_new = c.n_fct + act_i * refresh_now
+            else:
+                refresh_new = c.refresh
+                n_fct_new = c.n_fct + act_i
+
             reject_new = jnp.where(accept_i > 0, 0, c.reject + 1)
             failed_new = jnp.maximum(
                 c.failed, rejected_i * b2i(reject_new > cfg.radau_max_rejects)
@@ -719,6 +828,8 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 n_rej=c.n_rej + rejected_i,
                 n_att=n_att_new,
                 n_swp=c.n_swp + n_swp_step,
+                n_fct=n_fct_new,
+                refresh=refresh_new,
                 pred=pred_new,
             )
 
@@ -733,6 +844,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         stats_ref[1] = out.n_rej
         stats_ref[2] = out.n_att
         stats_ref[3] = out.n_swp
+        stats_ref[4] = out.n_fct
         hout_ref[0] = out.h
 
     return kernel
@@ -849,23 +961,34 @@ def _pipeline(
             (qp, n_eq, tile_rows, LANES), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((4, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((5, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_rows, LANES), row_map, memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((qp, n_eq, r_total, LANES), jnp.float32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.int32),
-        jax.ShapeDtypeStruct((4, r_total, LANES), jnp.int32),
+        jax.ShapeDtypeStruct((5, r_total, LANES), jnp.int32),
         jax.ShapeDtypeStruct((1, r_total, LANES), jnp.float32),
     ]
 
+    scratch_shapes = []
+    if config.radau_factor_reuse:
+        # Eigenbasis factor block (see kernel): persists across the while
+        # loop's iterations within one grid step; re-stored at each tile's
+        # first attempt, so cross-tile garbage is never read.
+        scratch_shapes = [
+            pltpu.VMEM(
+                (1 + 3 * n_eq * n_eq + 3 * n_eq, tile_rows, LANES), jnp.float32
+            )
+        ]
     call = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
 
@@ -926,7 +1049,7 @@ def _pipeline(
             y0_m,
             h0_m,
             jnp.zeros((1, r_total, LANES), jnp.int32),
-            jnp.zeros((4, r_total, LANES), jnp.int32),
+            jnp.zeros((5, r_total, LANES), jnp.int32),
         )
         (yf, _, failed, stats), dense_seq = lax.scan(
             wbody, init, (qt_chunks, bounds_seq)
@@ -939,13 +1062,13 @@ def _pipeline(
     if q_total == 0:
         dense_out = dense_out[:, :0, :]
     failed = failed.reshape(s_pad)[:s_count] > 0
-    stats = stats.reshape(4, s_pad)[:, :s_count]
+    stats = stats.reshape(5, s_pad)[:, :s_count]
     return RadauResult(
         y_final=yf,
         dense=dense_out,
         failed=failed,
         stats=RadauStats(
             n_accepted=stats[0], n_rejected=stats[1], n_attempts=stats[2],
-            n_newton=stats[3],
+            n_newton=stats[3], n_fact=stats[4],
         ),
     )

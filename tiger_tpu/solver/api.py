@@ -71,6 +71,7 @@ def _scatter_stats(
             n_rejected=np.zeros(s_count, np.int64),
             n_attempts=np.zeros(s_count, np.int64),
             n_newton=np.zeros(s_count, np.int64),
+            n_fact=np.zeros(s_count, np.int64),
         )
     out = []
     for have, field in zip(acc, stats):

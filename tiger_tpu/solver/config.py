@@ -162,6 +162,39 @@ class SolverConfig:
     # 1.0 disables (always apply the factor).
     radau_h_freeze_hi: float = 1.0
 
+    # Cross-step Jacobian/LU reuse in the FUSED Radau kernel (RADAU5's factor
+    # economics, H&W vol II IV.8: the reference refactorizes every Newton
+    # ITERATION, radau_step_dense.cuh:90-141 — the cost structure this rung
+    # exists to beat).  The eigenbasis factors (one real + one complex N x N
+    # LU, kernels/radau_pallas.py) live in a VMEM scratch ref and stay valid
+    # across attempts; refresh is TILE-gated (SIMD: any-lane-votes -> every
+    # lane refactorizes at its own current h).  Lanes vote on OBSERVED
+    # Newton effort, not a step-size band: >= radau_refresh_sweeps sweeps
+    # last attempt (slow contraction = stale factors, RADAU5's theta test
+    # by sweep-count proxy), outright Newton failure, or h drifted outside
+    # the WIDE safety band [radau_reuse_lo, radau_reuse_hi] x the factored
+    # h (divergence guard; a tight band voted on ~98% of iterations because
+    # SOME lane of the 2048-lane tile is always mid-growth).  Extra sweeps
+    # up to the kernel's unroll depth are free — the unrolled sweeps execute
+    # unconditionally — so effort-voting converts staleness into already-
+    # paid-for work.  Stale factors are a quasi-Newton whose fixed point is
+    # unchanged (the residual is exact); honest rejection backstops
+    # non-contraction.  Kernel path only; the vmap twin keeps the
+    # reference's per-iteration refresh (it is the parity oracle).
+    #
+    # DEFAULT OFF — a measured negative on the v5e (round 5, DESIGN.md):
+    # any per-lane vote with probability >~0.1%/attempt saturates a
+    # 2048-lane tile gate (measured 94% fire rate with effort voting, 87%
+    # even refreshing ONLY on Newton failure), and at the 21% of iterations
+    # that did skip, wall time did not move — post-eigenbasis, the
+    # factorization is a small share of an attempt and the skip branch
+    # costs Mosaic scheduling freedom.  Both operating points lose: 131k
+    # micro 212.5 -> 206M steps/s, 256-lane rung 50.2 -> 56.7 ms.
+    radau_factor_reuse: bool = False
+    radau_reuse_lo: float = 0.25
+    radau_reuse_hi: float = 4.0
+    radau_refresh_sweeps: int = 5
+
     # Radau error estimate:
     #   'radau5'    — RADAU5's smoothed estimate (mu/h I - J)^{-1}(f0 + EA.Z)
     #                 with exponent 1/4 and Newton-effort-aware safety
@@ -288,6 +321,13 @@ class SolverConfig:
             raise ValueError("stiff_streak and stiff_forgive must be >= 1")
         if self.stiff_floor_streak < 1:
             raise ValueError("stiff_floor_streak must be >= 1")
+        if not 0.0 < self.radau_reuse_lo <= 1.0 <= self.radau_reuse_hi:
+            raise ValueError(
+                "radau_reuse_lo/hi must bracket 1.0 with lo > 0; got "
+                f"[{self.radau_reuse_lo}, {self.radau_reuse_hi}]"
+            )
+        if self.radau_refresh_sweeps < 1:
+            raise ValueError("radau_refresh_sweeps must be >= 1")
         if not 1.0 <= self.radau_h_freeze_hi <= 2.0:
             raise ValueError(
                 f"radau_h_freeze_hi must be in [1, 2], got {self.radau_h_freeze_hi}"

@@ -49,6 +49,10 @@ class RadauStats(NamedTuple):
     # and vmap paths (same contract everywhere, so consumers never need to
     # know which backend produced the result).
     n_newton: Optional[jax.Array] = None
+    # Jacobian+LU factorizations each lane paid for (fused kernel only —
+    # SolverConfig.radau_factor_reuse makes this < n_attempts; the vmap twin
+    # mirrors the reference's refactorize-every-iteration and reports None).
+    n_fact: Optional[jax.Array] = None
 
 
 class RadauResult(NamedTuple):
