@@ -195,28 +195,64 @@ class ShardedTopology(NamedTuple):
     block: int
     depth: int
     n_rounds: int
+    # Shard row ranges in GLOBAL row coordinates (starts[d] .. starts[d] +
+    # sizes[d]); uniform ``block`` partition unless ``bounds`` was given.
+    starts: tuple = ()
+    sizes: tuple = ()
 
 
-def plan_sharded_topology(topo: Topology, n_shards: int) -> ShardedTopology:
-    """Split a Topology over ``n_shards`` contiguous row blocks (host)."""
+def plan_sharded_topology(
+    topo: Topology, n_shards: int, bounds=None
+) -> ShardedTopology:
+    """Split a Topology over ``n_shards`` contiguous row blocks (host).
+
+    ``bounds``: optional explicit per-shard row ranges (sequence of slices,
+    e.g. ``params.split_even`` — the production multi-process partition,
+    which spreads the remainder over the FIRST shards rather than
+    short-changing only the last).  Default: uniform ceil(S/D) blocks.
+    Each shard's rows are addressed locally as ``global_row - starts[d]``;
+    callers lay q out as [D, block] with each shard's tail padded.
+    """
     s_total = len(topo.next_idx)
-    block = -(-s_total // n_shards)  # ceil; callers pad the batch to D*B
     n_rounds = topo.ptr_tables.shape[0]
     rows = np.arange(s_total)
-    src_shard = rows // block
+    if bounds is None:
+        block = -(-s_total // max(n_shards, 1))  # ceil
+        starts = np.arange(n_shards) * block
+        sizes = np.clip(s_total - starts, 0, block)
+        src_shard = rows // max(block, 1)
+    else:
+        if len(bounds) != n_shards:
+            raise ValueError(f"bounds has {len(bounds)} slices, want {n_shards}")
+        starts = np.array([b.start for b in bounds])
+        sizes = np.array([b.stop - b.start for b in bounds])
+        if starts[0] != 0 or (starts[1:] != (starts + sizes)[:-1]).any() or (
+            starts + sizes
+        )[-1] != s_total:
+            raise ValueError("bounds must be contiguous and cover all rows")
+        block = int(sizes.max()) if n_shards else 0
+        src_shard = np.searchsorted(starts, rows, side="right") - 1
 
-    local_tgt = np.full((max(n_rounds, 1), n_shards, block), -1, np.int32)
+    def to_shard(grows):
+        d = np.searchsorted(starts, grows, side="right") - 1 if bounds is not None \
+            else grows // max(block, 1)
+        return d, grows - starts[d]
+
+    local_tgt = np.full((max(n_rounds, 1), n_shards, max(block, 1)), -1, np.int32)
     out_src, out_shard, out_row = [], [], []
     for j in range(n_rounds):
         edges = topo.ptr_tables[j]
-        tgt_shard = np.where(edges >= 0, edges // block, -1)
-        tgt_row = np.where(edges >= 0, edges % block, -1)
+        safe = np.clip(edges, 0, None)
+        e_shard, e_row = to_shard(safe)
+        tgt_shard = np.where(edges >= 0, e_shard, -1)
+        tgt_row = np.where(edges >= 0, e_row, -1)
+        src_row = rows - starts[src_shard]
         for d in range(n_shards):
             mine = src_shard == d
             local = mine & (tgt_shard == d)
-            local_tgt[j, d, rows[local] % block] = tgt_row[local]
+            local_tgt[j, d, src_row[local]] = tgt_row[local]
             remote = mine & (tgt_shard >= 0) & (tgt_shard != d)
-            out_src.append(rows[remote] % block)
+            out_src.append(src_row[remote])
             out_shard.append(tgt_shard[remote])
             out_row.append(tgt_row[remote])
     m = max(1, max((len(x) for x in out_src), default=1))
@@ -262,17 +298,22 @@ def _device_plan(plan: ShardedTopology):
     return _plan_cache[1]
 
 
-def accumulate_downstream_sharded(
-    q: jax.Array, plan: ShardedTopology, mesh: Mesh
-) -> jax.Array:
-    """Multi-chip downstream accumulation: shard_map + ring ppermute delivery.
+def exchange_sharded(q_g: jax.Array, plan: ShardedTopology, mesh: Mesh) -> jax.Array:
+    """Multi-chip downstream accumulation of ``q_g [D, B, W]`` — shard_map +
+    ring ppermute delivery, with a trailing payload axis W (e.g. a window's
+    query times, so one exchange routes a whole dense window).
 
-    ``q`` is the global [S_padded] runoff vector (S_padded = n_shards*block).
-    Each pointer-doubling round does the in-shard scatter of the current
-    partial sums, then circulates the remote outboxes one full ring so every
-    cross-shard contribution lands this round (the exchange is exactly the
-    reference's missing MPI neighbor transfer, built from XLA collectives
-    instead).  O(log depth) rounds total (see ShardedTopology).
+    ``q_g`` may be any global array sharded (or shardable) as P(axis) on its
+    leading shard axis — including cross-process arrays built with
+    ``jax.make_array_from_process_local_data`` — with each shard's rows
+    beyond ``plan.sizes[d]`` zero-padded.  Each pointer-doubling round does
+    the in-shard scatter of the current partial sums, then circulates the
+    remote outboxes one full ring so every cross-shard contribution lands
+    this round (the exchange is exactly the reference's missing MPI neighbor
+    transfer, stream.hpp:31 / SURVEY.md 2.10, built from XLA collectives
+    instead).  O(log depth) rounds total (see ShardedTopology); bytes on the
+    wire per call = n_rounds * (D-1) hops * M slots * (W * 4 + 4) — vs the
+    allgather oracle's S_total * W * 4 delivered to EVERY shard.
     """
     axis = mesh.axis_names[0]
     n = plan.n_shards
@@ -281,7 +322,7 @@ def accumulate_downstream_sharded(
     lt, ob_src, ob_shard, ob_row = _device_plan(plan)
 
     def shard_body(q_blk, lt_blk, src_blk, shard_blk, row_blk):
-        q_blk = q_blk[0]
+        q_blk = q_blk[0]  # [B, W]
         me = jax.lax.axis_index(axis)
 
         def round_body(acc, xs):
@@ -290,14 +331,16 @@ def accumulate_downstream_sharded(
             # x <- x + S_j x, not the fixpoint's q + S x).
             valid_l = lt_r >= 0
             add_local = jnp.zeros_like(acc).at[jnp.where(valid_l, lt_r, 0)].add(
-                jnp.where(valid_l, acc, 0.0), mode="drop"
+                jnp.where(valid_l[:, None], acc, 0.0), mode="drop"
             )
             new_acc = acc + add_local
             # Pack outbox: contribution of src rows (pre-round acc values).
             # Destination (shard, row) travels with the slot as one packed
             # integer payload so two ppermutes move value + address together.
             valid_o = src >= 0
-            vals = jnp.where(valid_o, acc[jnp.where(valid_o, src, 0)], 0.0)
+            vals = jnp.where(
+                valid_o[:, None], acc[jnp.where(valid_o, src, 0)], 0.0
+            )
             packed = jnp.where(valid_o, dst_shard * plan.block + dst_row, -1)
 
             # Ring-circulate (n-1 hops): deliver slots addressed to me.
@@ -307,8 +350,10 @@ def accumulate_downstream_sharded(
                 packed = jax.lax.ppermute(packed, axis, perm)
                 deliver = (packed >= 0) & ((packed // plan.block) == me)
                 rowt = jnp.where(deliver, packed % plan.block, 0)
-                new_acc = new_acc.at[rowt].add(jnp.where(deliver, vals, 0.0), mode="drop")
-                vals = jnp.where(deliver, 0.0, vals)
+                new_acc = new_acc.at[rowt].add(
+                    jnp.where(deliver[:, None], vals, 0.0), mode="drop"
+                )
+                vals = jnp.where(deliver[:, None], 0.0, vals)
                 packed = jnp.where(deliver, -1, packed)
                 return (new_acc, vals, packed), None
 
@@ -327,10 +372,35 @@ def accumulate_downstream_sharded(
     fn = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P(axis), P(None, axis), P(None, axis), P(None, axis), P(None, axis)),
+        in_specs=(
+            P(axis), P(None, axis), P(None, axis), P(None, axis), P(None, axis)
+        ),
         out_specs=P(axis),
         check_vma=False,
     )
-    q2 = q.reshape(n, plan.block)
-    out = fn(q2, lt, ob_src, ob_shard, ob_row)
-    return out.reshape(-1)
+    return fn(q_g, lt, ob_src, ob_shard, ob_row)
+
+
+def accumulate_downstream_sharded(
+    q: jax.Array, plan: ShardedTopology, mesh: Mesh
+) -> jax.Array:
+    """Single-vector wrapper of :func:`exchange_sharded`: ``q`` is the global
+    [S_padded] runoff vector (S_padded = n_shards*block, uniform blocks)."""
+    q2 = q.reshape(plan.n_shards, plan.block, 1)
+    return exchange_sharded(q2, plan, mesh).reshape(-1)
+
+
+def ring_bytes_per_exchange(plan: ShardedTopology, w: int, itemsize: int = 4) -> int:
+    """Bytes a ring exchange moves over the interconnect (all hops, all
+    rounds): each of n_rounds rounds circulates the M-slot outbox (values
+    [M, W] + packed addresses [M] int32) through D-1 hops."""
+    m = plan.outbox_src.shape[-1]
+    return plan.n_rounds * (plan.n_shards - 1) * m * (w * itemsize + 4)
+
+
+def allgather_bytes_per_exchange(
+    s_total: int, w: int, n_eq: int, n_shards: int, itemsize: int = 4
+) -> int:
+    """Bytes the allgather oracle DELIVERS per window: every shard receives
+    the full [S_total, W, n_eq] dense block (run.py's process_allgather)."""
+    return n_shards * s_total * w * n_eq * itemsize
