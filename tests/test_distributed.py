@@ -140,7 +140,37 @@ def test_two_process_chunked_routed_matches_single(tmp_path):
     )
     np.testing.assert_array_equal(dense2, dense1)
     # Cross-rank chain topology, accumulated per window: must be global.
+    # The default exchange is the ppermute ring (output.routed_exchange:
+    # ring) — this run IS the sharded exchange vs the single-process oracle.
     np.testing.assert_allclose(d2, d1, rtol=1e-12, atol=0)
+
+    # Allgather oracle at 2 processes: same discharge as the ring path.
+    cfg3 = sc["tmp_path"] / "config_c3.yaml"
+    chunked_cfg(cfg3, sc["tmp_path"] / "outc3")
+    cfg3.write_text(
+        cfg3.read_text().replace(
+            "routed_discharge: true",
+            "routed_discharge: true\n  routed_exchange: allgather",
+        )
+    )
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tiger_tpu.run", "--config", str(cfg3),
+             "--cpu", "--distributed", "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se[-2000:]
+    out3 = sc["tmp_path"] / "outc3"
+    d3 = np.concatenate(
+        [_read(out3 / f"discharge_basin_rank_{r}.nc", "discharge") for r in (0, 1)]
+    )
+    np.testing.assert_allclose(d3, d2, rtol=1e-12, atol=0)
 
 
 def test_global_mesh_stiff_lanes(tmp_path):

@@ -121,6 +121,14 @@ class OutputInfo:
     # Also write the routed discharge hydrograph (downstream-accumulated link
     # outflow over the next_stream topology) as discharge_<prefix>_rank_N.nc.
     routed_discharge: bool = False
+    # Multi-process routed-discharge exchange.  'ring': shard_map + ppermute
+    # delivery over the sharded topology plan — each window moves only the
+    # cross-shard outbox, O(M * log depth * ranks) bytes (the reference's
+    # never-built MPI neighbor transfer, stream.hpp:31).  'allgather': the
+    # full-basin process_allgather + replicated full-topology accumulation —
+    # O(S_total * Q) bytes delivered to EVERY rank per window; kept as the
+    # oracle and for backends without cross-process collectives.
+    routed_exchange: str = "ring"
     # Chunked runs: overwrite state_<prefix>_rank_N.nc every this-many
     # simulated time (e.g. "30d") so a killed year-scale run resumes from the
     # last completed window via initial.mode hot (crash recovery the
@@ -283,6 +291,7 @@ def load_config(path: str) -> SimulationConfig:
                 None if o.get("i16_ranges") is None else dict(o["i16_ranges"])
             ),
             routed_discharge=bool(o.get("routed_discharge", False)),
+            routed_exchange=str(o.get("routed_exchange", "ring")),
             checkpoint_interval=(
                 None if o.get("checkpoint_interval") is None
                 else str(o["checkpoint_interval"])
@@ -290,6 +299,11 @@ def load_config(path: str) -> SimulationConfig:
         )
         if cfg.output.checkpoint_interval is not None:
             parse_interval_minutes(cfg.output.checkpoint_interval)  # validate
+        if cfg.output.routed_exchange not in ("ring", "allgather"):
+            raise ValueError(
+                "output.routed_exchange must be ring|allgather, got "
+                f"{cfg.output.routed_exchange!r}"
+            )
         if cfg.output.precision not in (None, "f32", "f64", "i16"):
             raise ValueError(
                 f"output.precision must be f32|f64|i16, got {cfg.output.precision!r}"

@@ -199,6 +199,11 @@ class ShardedTopology(NamedTuple):
     # sizes[d]); uniform ``block`` partition unless ``bounds`` was given.
     starts: tuple = ()
     sizes: tuple = ()
+    # Per-round outbox width (max over shards): round j only circulates its
+    # own m_j slots instead of the global max M — later doubling rounds have
+    # far fewer surviving edges, so uniform-M ring traffic overstates by the
+    # ratio sum(m_j)/R*M.
+    round_slots: tuple = ()
 
 
 def plan_sharded_topology(
@@ -263,8 +268,13 @@ def plan_sharded_topology(
     if n_rounds == 0:
         empty = np.full((1, n_shards, 1), -1, np.int32)
         out_arrs = (empty, empty, empty)
+        round_slots = ()
     else:
         out_arrs = (pad(out_src), pad(out_shard), pad(out_row))
+        round_slots = tuple(
+            max(1, max(len(out_src[j * n_shards + d]) for d in range(n_shards)))
+            for j in range(n_rounds)
+        )
     return ShardedTopology(
         local_tgt=local_tgt,
         outbox_src=out_arrs[0],
@@ -274,6 +284,9 @@ def plan_sharded_topology(
         block=block,
         depth=topo.depth,
         n_rounds=n_rounds,
+        starts=tuple(int(x) for x in starts),
+        sizes=tuple(int(x) for x in sizes),
+        round_slots=round_slots,
     )
 
 
@@ -319,14 +332,32 @@ def exchange_sharded(q_g: jax.Array, plan: ShardedTopology, mesh: Mesh) -> jax.A
     n = plan.n_shards
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    lt, ob_src, ob_shard, ob_row = _device_plan(plan)
+    procs = {d.process_index for d in mesh.devices.flat}
+    if len(procs) > 1:
+        # Cross-process mesh: hand shard_map the HOST plan tables (identical
+        # on every process — deterministic from the topology), which jit
+        # shards consistently; a per-process jnp.asarray would be committed
+        # to one local device and clash with the global mesh.
+        lt, ob_src, ob_shard, ob_row = (
+            plan.local_tgt, plan.outbox_src, plan.outbox_shard, plan.outbox_row
+        )
+    else:
+        lt, ob_src, ob_shard, ob_row = _device_plan(plan)
 
     def shard_body(q_blk, lt_blk, src_blk, shard_blk, row_blk):
-        q_blk = q_blk[0]  # [B, W]
+        acc = q_blk[0]  # [B, W]
         me = jax.lax.axis_index(axis)
 
-        def round_body(acc, xs):
-            lt_r, src, dst_shard, dst_row = (a[0] for a in xs)
+        # Rounds are Python-unrolled (R <= ceil(log2(depth)) ~ 10): each
+        # round circulates only its OWN outbox width plan.round_slots[j] —
+        # a uniform scan would make every round pay the WORST round's
+        # traffic (later doubling rounds have far fewer surviving edges).
+        for j in range(plan.n_rounds):
+            m_j = plan.round_slots[j]
+            lt_r = lt_blk[j, 0]
+            src = src_blk[j, 0, :m_j]
+            dst_shard = shard_blk[j, 0, :m_j]
+            dst_row = row_blk[j, 0, :m_j]
             # In-shard scatter of the CURRENT partial sums (doubling update
             # x <- x + S_j x, not the fixpoint's q + S x).
             valid_l = lt_r >= 0
@@ -357,16 +388,9 @@ def exchange_sharded(q_g: jax.Array, plan: ShardedTopology, mesh: Mesh) -> jax.A
                 packed = jnp.where(deliver, -1, packed)
                 return (new_acc, vals, packed), None
 
-            (new_acc, _, _), _ = jax.lax.scan(
+            (acc, _, _), _ = jax.lax.scan(
                 hop, (new_acc, vals, packed), None, length=n - 1
             )
-            return new_acc, None
-
-        if plan.n_rounds == 0:
-            return q_blk[None]
-        acc, _ = jax.lax.scan(
-            round_body, q_blk, (lt_blk, src_blk, shard_blk, row_blk)
-        )
         return acc[None]
 
     fn = jax.shard_map(
@@ -392,10 +416,12 @@ def accumulate_downstream_sharded(
 
 def ring_bytes_per_exchange(plan: ShardedTopology, w: int, itemsize: int = 4) -> int:
     """Bytes a ring exchange moves over the interconnect (all hops, all
-    rounds): each of n_rounds rounds circulates the M-slot outbox (values
-    [M, W] + packed addresses [M] int32) through D-1 hops."""
-    m = plan.outbox_src.shape[-1]
-    return plan.n_rounds * (plan.n_shards - 1) * m * (w * itemsize + 4)
+    rounds): round j circulates its m_j-slot outbox (values [m_j, W] +
+    packed addresses [m_j] int32) through D-1 hops."""
+    return sum(
+        (plan.n_shards - 1) * m_j * (w * itemsize + 4)
+        for m_j in plan.round_slots
+    )
 
 
 def allgather_bytes_per_exchange(

@@ -283,17 +283,27 @@ def run(cfg, devices=None, metrics=None, use_mesh: bool = True, backend: str = "
 def _make_cross_rank_routed(cfg, sp_full, dtype, rows):
     """Dense -> routed-discharge fn that is correct across rank boundaries.
 
-    Downstream links cross rank boundaries: each rank allgathers the (small)
-    dense runoff block, accumulates on the FULL topology, and keeps its own
-    rows — a local-slice topology would silently drop upstream contributions
-    from other ranks at shard edges.  Shared by the unchunked path and the
-    chunked per-window path (solve_chunked's ``routed_fn``); the topology,
-    full parameter table and slice plan are built ONCE, each call moves only
-    one window's dense block.
+    Downstream links cross rank boundaries, so a local-slice topology would
+    silently drop upstream contributions at shard edges.  Two exchanges
+    (cfg.output.routed_exchange):
+
+    - ``ring`` (default): each rank computes ITS rows' link runoff locally,
+      then the sharded-topology ring exchange (routing.exchange_sharded:
+      shard_map + ppermute outbox delivery, the reference's never-built MPI
+      neighbor transfer, stream.hpp:31) accumulates across ranks — only the
+      cross-shard outbox travels, O(M * log depth * ranks) bytes per window.
+    - ``allgather`` (oracle): every rank receives the FULL [S_total, Q, N]
+      dense block (jax.experimental.multihost_utils.process_allgather) and
+      redundantly accumulates the whole basin — O(S_total * Q * N) bytes to
+      every rank per window; kept for verification and for backends without
+      cross-process collectives.
+
+    Shared by the unchunked path and the chunked per-window path
+    (solve_chunked's ``routed_fn``); topology, plan and parameters are built
+    ONCE, each call moves only one window's data.
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental import multihost_utils
 
     from tiger_tpu import params as params_mod
     from tiger_tpu import routing
@@ -301,16 +311,65 @@ def _make_cross_rank_routed(cfg, sp_full, dtype, rows):
 
     topo = routing.build_topology(sp_full["stream"], sp_full["next_stream"])
     s_total = params_mod.num_systems(sp_full)
-    full_params = {
-        k: jnp.asarray(v, dtype)
-        for k, v in params_mod.model_params(sp_full).items()
-    }
-    # global_params broadcast like the local slice got: link_runoff needs
-    # the same fields on the full table.
-    for name, value in cfg.global_params.items():
-        if name not in full_params:
-            full_params[name] = jnp.full((s_total,), value, dtype)
     slices = split_even(s_total, jax.process_count())
+
+    def _params_for(sp_rows, n):
+        out = {
+            k: jnp.asarray(v, dtype)
+            for k, v in params_mod.model_params(sp_rows).items()
+        }
+        # global_params broadcast like the local slice got: link_runoff
+        # needs the same fields.
+        for name, value in cfg.global_params.items():
+            if name not in out:
+                out[name] = jnp.full((n,), value, dtype)
+        return out
+
+    if cfg.output.routed_exchange == "ring":
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        n_proc = jax.process_count()
+        plan = routing.plan_sharded_topology(topo, n_proc, bounds=slices)
+        # One shard per PROCESS: the exchange mesh takes each process's
+        # first device (the solve may use its own local mesh; the routed
+        # window is small next to the solve, so one device per rank is the
+        # right grain for the ICI/DCN exchange).
+        by_proc = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, d)
+        ring_mesh = Mesh(
+            np.array([by_proc[i] for i in range(n_proc)]), ("shards",)
+        )
+        sharding = NamedSharding(ring_mesh, PartitionSpec("shards"))
+        me = jax.process_index()
+        my_rows = slices[me]
+        n_local = my_rows.stop - my_rows.start
+        local_params = _params_for(params_mod.slice_rows(sp_full, my_rows), n_local)
+
+        @jax.jit
+        def _local_runoff(dense):
+            def per_time(y_slice):  # [S_local, N]
+                return routing.link_runoff_204(
+                    jnp.nan_to_num(y_slice), local_params
+                )
+
+            return jax.vmap(per_time, in_axes=1, out_axes=1)(dense)
+
+        def routed(dense_local):
+            q_local = np.asarray(_local_runoff(jnp.asarray(dense_local)))
+            blk = np.zeros((1, plan.block, q_local.shape[1]), q_local.dtype)
+            blk[0, :n_local] = q_local
+            q_g = jax.make_array_from_process_local_data(sharding, blk)
+            out = routing.exchange_sharded(q_g, plan, ring_mesh)
+            mine = np.asarray(out.addressable_shards[0].data)
+            return mine[0, :n_local]
+
+        return routed
+
+    from jax.experimental import multihost_utils
+
+    full_params = _params_for(sp_full, s_total)
     max_len = max(sl.stop - sl.start for sl in slices)
 
     def routed(dense_local):
