@@ -100,7 +100,14 @@ def main() -> None:
     p.add_argument(
         "--stiff-frac", type=float, default=0.001,
         help="fraction of systems made genuinely stiff (near-zero Hu) so the "
-        "headline includes the two-phase RK45->Radau orchestration cost",
+        "headline includes the two-phase RK45->Radau orchestration cost.  "
+        "Model 204 only: the tiny-Hu lane is stiff through 204's UNCAPPED "
+        "linear ET stub (eig ~ -0.1*T/Hu); Model 200's fluxes are all "
+        "rate-capped by design (bounded ETactual ramp, min-capped "
+        "Manning/melt/alpha drains), so no parameter choice yields a "
+        "smooth stiff M200 lane at f32 tolerances (DESIGN.md round-5) — "
+        "its two-phase run reports n_stiff=0 and its implicit-kernel "
+        "record comes from --solver radau --model 200 instead",
     )
     p.add_argument(
         "--rk-only", action="store_true",

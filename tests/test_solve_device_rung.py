@@ -76,3 +76,51 @@ def test_device_rung_failures_fall_through_to_cpu(mix, monkeypatch):
     ok = ~np.asarray(res.failed)
     assert ok.any()
     assert np.isfinite(got[ok]).all()
+
+
+def test_speculative_rung_matches_blocking_path(mix, monkeypatch):
+    """The speculative rung dispatch (device-side compaction, round 5) must
+    produce the same results as the blocking pull-then-dispatch path, fill
+    sentinel lanes with NaN working sets that scatter nowhere, and report
+    the same stiff bookkeeping.  Exercised on CPU via backend='pallas'
+    (interpreter) + TT_FORCE_SPECULATIVE_RUNG."""
+    y0, params, lam = mix
+    qt = jnp.asarray([25.0, 50.0])
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8)
+
+    monkeypatch.setenv("TT_NO_SPECULATIVE_RUNG", "1")
+    monkeypatch.setenv("TT_FORCE_DEVICE_RUNG", "1")
+    base = solve(StiffMix(), y0, 0.0, 50.0, qt, params=params, config=cfg,
+                 backend="pallas")
+
+    monkeypatch.delenv("TT_NO_SPECULATIVE_RUNG")
+    monkeypatch.setenv("TT_FORCE_SPECULATIVE_RUNG", "1")
+    spec = solve(StiffMix(), y0, 0.0, 50.0, qt, params=params, config=cfg,
+                 backend="pallas")
+
+    assert spec.n_stiff == base.n_stiff == 2
+    assert not np.asarray(spec.failed).any()
+    np.testing.assert_array_equal(
+        np.asarray(spec.y_final), np.asarray(base.y_final)
+    )
+    np.testing.assert_array_equal(np.asarray(spec.dense), np.asarray(base.dense))
+    # Per-lane rung stats land on exactly the flagged lanes.
+    att = np.asarray(spec.radau_stats.n_attempts)
+    assert (att[[3, 7]] > 0).all() and att.sum() == att[[3, 7]].sum()
+
+
+def test_speculative_rung_zero_stiff_is_clean(monkeypatch):
+    """No flagged lanes: the wasted speculative kernel call must leave the
+    outputs bit-identical to the RK pass and report n_stiff == 0."""
+    monkeypatch.setenv("TT_FORCE_SPECULATIVE_RUNG", "1")
+    s = 8
+    y0 = jnp.ones((s, 5), jnp.float32)
+    params = {"lam": jnp.full((s,), -0.1, jnp.float32)}
+    qt = jnp.asarray([25.0, 50.0])
+    res = solve(StiffMix(), y0, 0.0, 50.0, qt, params=params,
+                config=SolverConfig(rtol=1e-5, atol=1e-8), backend="pallas")
+    assert res.n_stiff == 0
+    assert res.radau_stats is None
+    assert not np.asarray(res.failed).any()
+    expect = np.exp(-0.1 * 50.0)
+    np.testing.assert_allclose(np.asarray(res.y_final), expect, rtol=1e-4)

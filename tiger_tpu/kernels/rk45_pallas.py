@@ -336,6 +336,28 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         def cond(c):
             return c.alive > 0
 
+        # TT_RK45_TREE=1: reassociate the stage/b-row/e-row/P-row
+        # accumulations as balanced pairwise trees instead of serial fma
+        # chains — an ILP experiment (round-5 verdict item: the kernel is
+        # latency-bound on its dependent chain).  Trace-time static; changes
+        # results by rounding only (reassociation).
+        import os as _os
+
+        tree_acc = _os.environ.get("TT_RK45_TREE", "") not in ("", "0")
+
+        def _tree_sum(terms):
+            """Balanced pairwise sum: chain depth log2(n) instead of n."""
+            terms = list(terms)
+            while len(terms) > 1:
+                nxt = [
+                    terms[k] + terms[k + 1]
+                    for k in range(0, len(terms) - 1, 2)
+                ]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            return terms[0]
+
         def body(c):
             # Mask algebra in i32 (0/1): Mosaic miscompiles the AND of two
             # f32-derived i1 masks ("Invalid relayout ... replicated"), so
@@ -385,36 +407,101 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             ks = [k0]
             g6 = y  # stage-6 argument (captured below; Hairer hlamb test)
             for s in range(1, 7):
-                acc = list(y)
-                for j in range(s):
-                    if dp_a[s, j] != 0.0:
-                        # float(): weak-typed so f32 math stays f32 under x64.
-                        w = float(dp_a[s, j])
-                        acc = [acc[i] + (h_eff * w) * ks[j][i] for i in range(n_eq)]
+                if tree_acc:
+                    acc = [
+                        _tree_sum(
+                            [y[i]]
+                            + [
+                                (h_eff * float(dp_a[s, j])) * ks[j][i]
+                                for j in range(s)
+                                if dp_a[s, j] != 0.0
+                            ]
+                        )
+                        for i in range(n_eq)
+                    ]
+                else:
+                    acc = list(y)
+                    for j in range(s):
+                        if dp_a[s, j] != 0.0:
+                            # float(): weak-typed so f32 stays f32 under x64.
+                            w = float(dp_a[s, j])
+                            acc = [
+                                acc[i] + (h_eff * w) * ks[j][i]
+                                for i in range(n_eq)
+                            ]
                 if s == 5:
                     g6 = tuple(acc)
                 ks.append(rhs(t + float(dp_c[s]) * h_eff, tuple(acc), f_vals))
 
-            err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
-            if cfg.compensated:
-                # dy accumulated separately (matching the vmap path's
-                # tensordot-then-add) so the Kahan commit below sees the
-                # exact addend; y_out = y + dy drives the error test.
-                dys = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+            if tree_acc:
+                err_c = [
+                    _tree_sum(
+                        [
+                            (h_eff * float(dp_e[s])) * ks[s][i]
+                            for s in range(7)
+                            if dp_e[s] != 0.0
+                        ]
+                    )
+                    for i in range(n_eq)
+                ]
+                if cfg.compensated:
+                    # Kahan commit needs the exact addend dy.
+                    dys = [
+                        _tree_sum(
+                            [
+                                (h_eff * float(dp_b[s])) * ks[s][i]
+                                for s in range(7)
+                                if dp_b[s] != 0.0
+                            ]
+                        )
+                        for i in range(n_eq)
+                    ]
+                    y_out = [y[i] + dys[i] for i in range(n_eq)]
+                else:
+                    # Same association as stage 7's input (b-row == a7-row,
+                    # FSAL property): keeps k7 == next step's k1 bit-exact,
+                    # so cfg.fsal stays bit-identical under reassociation.
+                    y_out = [
+                        _tree_sum(
+                            [y[i]]
+                            + [
+                                (h_eff * float(dp_b[s])) * ks[s][i]
+                                for s in range(7)
+                                if dp_b[s] != 0.0
+                            ]
+                        )
+                        for i in range(n_eq)
+                    ]
             else:
-                y_out = list(y)
-            for s in range(7):
-                if dp_b[s] != 0.0:
-                    w = float(dp_b[s])
-                    if cfg.compensated:
-                        dys = [dys[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
-                    else:
-                        y_out = [y_out[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
-                if dp_e[s] != 0.0:
-                    w = float(dp_e[s])
-                    err_c = [err_c[i] + (h_eff * w) * ks[s][i] for i in range(n_eq)]
-            if cfg.compensated:
-                y_out = [y[i] + dys[i] for i in range(n_eq)]
+                err_c = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+                if cfg.compensated:
+                    # dy accumulated separately (matching the vmap path's
+                    # tensordot-then-add) so the Kahan commit below sees the
+                    # exact addend; y_out = y + dy drives the error test.
+                    dys = [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+                else:
+                    y_out = list(y)
+                for s in range(7):
+                    if dp_b[s] != 0.0:
+                        w = float(dp_b[s])
+                        if cfg.compensated:
+                            dys = [
+                                dys[i] + (h_eff * w) * ks[s][i]
+                                for i in range(n_eq)
+                            ]
+                        else:
+                            y_out = [
+                                y_out[i] + (h_eff * w) * ks[s][i]
+                                for i in range(n_eq)
+                            ]
+                    if dp_e[s] != 0.0:
+                        w = float(dp_e[s])
+                        err_c = [
+                            err_c[i] + (h_eff * w) * ks[s][i]
+                            for i in range(n_eq)
+                        ]
+                if cfg.compensated:
+                    y_out = [y[i] + dys[i] for i in range(n_eq)]
             err = jnp.zeros(shp, dtype)
             for i in range(n_eq):
                 tol = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y[i]), jnp.abs(y_out[i]))

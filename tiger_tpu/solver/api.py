@@ -163,6 +163,15 @@ def _merge_gather_apply_masked(y_final, dense, failed, rows, y_src, dense_src,
     return y_final, dense, failed
 
 
+@functools.partial(jax.jit, static_argnames=("bucket", "fill"))
+def _stiff_rows_jit(mask, bucket, fill):
+    """Device-side stiff compaction: the first ``bucket`` flagged rows in
+    ascending order, sentinel ``fill`` beyond the flag count — the input to
+    the SPECULATIVE rung dispatch (no host round trip; the reference does
+    this gather on the CPU, rk45_api.hpp:190-203)."""
+    return jnp.nonzero(mask, size=bucket, fill_value=fill)[0].astype(jnp.int32)
+
+
 @jax.jit
 def _gather_subset_jit(y0, h0, params, forc_data, rows):
     """Gather the stiff working set in ONE device program (the eager
@@ -298,23 +307,94 @@ def solve(
         )
     _phase_mark("rk_phase", t_ph, rk.y_final, rk.dense)
 
-    # ONE host round trip for flags: pull the whole [S] mask and count on the
-    # host.  A device-side count (`int(jnp.sum(...))`) costs the same sync
-    # RTT as the pull itself — ~20-30 ms over the remote-TPU tunnel, ~10% of
-    # the two-phase headline — and the mask payload (1 bit/lane) is
-    # negligible next to the RTT at any batch size.
-    t_ph = _time.perf_counter()
-    stiff_mask = _host_pull(rk.stiff)
-    n_stiff = int(stiff_mask.sum())
-    _phase_mark("stiff_count_sync", t_ph)
-    n_stiff_flagged = n_stiff
-    # Cross-process GLOBAL mesh: host compaction works through _host_pull
-    # (replicate-then-read); the per-process stiff pipeline runs redundantly
-    # with identical inputs, and the jitted merges see replicated updates.
-    glob = bool(n_stiff) and not getattr(rk.stiff, "is_fully_addressable", True)
     y_final, dense = rk.y_final, rk.dense
     failed = rk.failed
     radau_stats = None
+    cpu_extra_rows = np.zeros(0, np.int64)
+    addressable = getattr(rk.stiff, "is_fully_addressable", True)
+    # SPECULATIVE rung dispatch (round 5): on the single-device kernel path
+    # the whole stiff second phase — device-side compaction of the first 256
+    # flagged rows (_stiff_rows_jit), subset gather, fused Radau kernel, and
+    # the masked merge — is enqueued BEFORE any host round trip, so the
+    # device never idles waiting for the stiff-flag pull (~25 ms over the
+    # remote-TPU tunnel, the largest non-rung overhead in the two-phase
+    # headline).  Sentinel rows beyond the flag count gather NaN working
+    # sets (jnp.take OOB fills NaN) and fail within radau_max_rejects
+    # iterations — far cheaper than integrating a cloned real lane — and
+    # their merge rows are out-of-range, so they scatter nowhere.  The ONE
+    # host pull afterwards (mask + rung failures + stats) only steers the
+    # rare fallbacks: kernel-failed lanes to the CPU f64 pipeline, and
+    # flag counts beyond the bucket to a second exact-size device rung.
+    # Cost when NO lane was stiff: one wasted ~15-50 ms kernel call of
+    # all-NaN lanes that die in <= 60 iterations each — bounded, and paid
+    # only on paths that previously paid the RTT anyway.
+    speculate = (
+        use_pallas
+        and mesh is None
+        and addressable
+        and backend != "xla"
+        and (on_tpu_f32 or _env_flag("TT_FORCE_SPECULATIVE_RUNG"))
+        and not _env_flag("TT_NO_SPECULATIVE_RUNG")
+    )
+    t_ph = _time.perf_counter()
+    if speculate:
+        from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
+
+        bucket = 256
+        rows_dev = _stiff_rows_jit(rk.stiff, bucket, s_count)
+        y0_sub, h0_sub, params_sub, forc_sub = _gather_subset_jit(
+            y0, rk.h0, params,
+            None if forcings is None else forcings.data, rows_dev,
+        )
+        forc0 = None
+        if forc_sub is not None:
+            forc0 = ForcingSet(data=forc_sub, meta=forcings.meta)
+        rdk = radau_solve_pallas(
+            model, y0_sub, t0, tf, query_times, params_sub, forc0,
+            h0=h0_sub, config=config,
+            interpret=jax.devices()[0].platform != "tpu",
+            t_shift=t_shift,
+        )
+        y_final, dense, failed = _merge_gather_apply_masked(
+            y_final, dense, failed, rows_dev, rdk.y_final, rdk.dense, rdk.failed,
+        )
+        # ONE host round trip for everything the host logic reads.
+        stiff_mask, failed_np, stats_np = jax.device_get(
+            (rk.stiff, rdk.failed, rdk.stats)
+        )
+        stiff_mask = np.asarray(stiff_mask)
+        n_stiff = int(stiff_mask.sum())
+        _phase_mark("stiff_count_sync", t_ph)
+        n_stiff_flagged = n_stiff
+        glob = False
+        if n_stiff:
+            idx0 = np.nonzero(stiff_mask)[0]
+            cov = min(n_stiff, bucket)
+            radau_stats = _scatter_stats(
+                radau_stats, stats_np, idx0[:cov], s_count
+            )
+            # Covered lanes whose kernel attempt failed -> CPU f64 pipeline
+            # (joined in after the overflow rung below); flags beyond the
+            # bucket -> the exact-size device rung below.
+            cpu_extra_rows = idx0[:cov][failed_np[:cov]]
+            stiff_mask = np.zeros_like(stiff_mask)
+            stiff_mask[idx0[cov:]] = True
+            n_stiff = int(stiff_mask.sum())
+            _phase_mark("radau_device_rung", t_ph, y_final, dense)
+    else:
+        # ONE host round trip for flags: pull the whole [S] mask and count
+        # on the host.  A device-side count (`int(jnp.sum(...))`) costs the
+        # same sync RTT as the pull itself, and the mask payload (1
+        # bit/lane) is negligible next to the RTT at any batch size.
+        stiff_mask = _host_pull(rk.stiff)
+        n_stiff = int(stiff_mask.sum())
+        _phase_mark("stiff_count_sync", t_ph)
+        n_stiff_flagged = n_stiff
+        # Cross-process GLOBAL mesh: host compaction works through
+        # _host_pull (replicate-then-read); the per-process stiff pipeline
+        # runs redundantly with identical inputs, and the jitted merges see
+        # replicated updates.
+        glob = bool(n_stiff) and not addressable
 
     # Accelerator runs with flagged lanes: re-integrate the flagged subset
     # with the fused Radau kernel ON DEVICE first; only its failures fall
@@ -428,6 +508,13 @@ def solve(
         _phase_mark("radau_device_rung", t_ph, y_final, dense)
     else:
         n_stiff_remaining = n_stiff
+
+    if len(cpu_extra_rows):
+        # Speculative-rung kernel failures join whatever the overflow rung
+        # left over — all of it goes through the CPU f64 pipeline below.
+        stiff_mask = np.array(stiff_mask, copy=True)
+        stiff_mask[cpu_extra_rows] = True
+        n_stiff_remaining = int(stiff_mask.sum())
 
     t_ph = _time.perf_counter()
     if n_stiff_remaining > 0:
