@@ -124,3 +124,31 @@ def test_speculative_rung_zero_stiff_is_clean(monkeypatch):
     assert not np.asarray(res.failed).any()
     expect = np.exp(-0.1 * 50.0)
     np.testing.assert_allclose(np.asarray(res.y_final), expect, rtol=1e-4)
+
+
+def test_speculative_rung_overflow_beyond_bucket(monkeypatch):
+    """More flagged lanes than the speculative bucket: the first ``bucket``
+    are resolved by the speculative kernel, the overflow goes through the
+    exact-size device rung, and every lane still lands on the Radau answer."""
+    monkeypatch.setenv("TT_FORCE_SPECULATIVE_RUNG", "1")
+    monkeypatch.setenv("TT_FORCE_DEVICE_RUNG", "1")  # overflow path on CPU
+    monkeypatch.setenv("TT_SPEC_BUCKET", "4")
+    s = 12
+    lam = np.full(s, -0.1, np.float32)
+    stiff_rows = [1, 3, 5, 7, 9, 11]  # 6 > bucket of 4
+    lam[stiff_rows] = -1e6
+    y0 = jnp.ones((s, 5), jnp.float32)
+    params = {"lam": jnp.asarray(lam)}
+    res = solve(StiffMix(), y0, 0.0, 50.0, jnp.asarray([25.0, 50.0]),
+                params=params, config=SolverConfig(rtol=1e-5, atol=1e-8),
+                backend="pallas")
+    assert res.n_stiff == 6
+    assert not np.asarray(res.failed).any()
+    got = np.asarray(res.y_final)
+    np.testing.assert_allclose(got[stiff_rows], 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        got[lam > -1e5], np.exp(-0.1 * 50.0), rtol=1e-4
+    )
+    att = np.asarray(res.radau_stats.n_attempts)
+    assert (att[stiff_rows] > 0).all(), "overflow lanes missing rung stats"
+    assert att.sum() == att[stiff_rows].sum()

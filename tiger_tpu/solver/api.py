@@ -340,7 +340,11 @@ def solve(
     if speculate:
         from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
 
-        bucket = 256
+        # 256 covers every observed production flag count in one shot (the
+        # headline flags 133; streamed windows usually fewer); TT_SPEC_BUCKET
+        # shrinks it so tests can exercise the beyond-bucket overflow branch
+        # without 256 interpret-mode lanes.
+        bucket = int(_os.environ.get("TT_SPEC_BUCKET", "256"))
         rows_dev = _stiff_rows_jit(rk.stiff, bucket, s_count)
         y0_sub, h0_sub, params_sub, forc_sub = _gather_subset_jit(
             y0, rk.h0, params,

@@ -141,8 +141,68 @@ def main() -> None:
         with h5py.File(dense_path) as f:
             dense = np.asarray(f["outputs"])
         assert np.isfinite(y_final).all(), "unfinished lanes in final state"
+        # ---- distinct-per-link VARIANT (round 5): the baseline's ten
+        # bit-identical y_final rows are EXPECTED (see identical_finals
+        # note), but identical rows are also what a broken grid->link remap
+        # would produce — so a second pass perturbs the per-link params AND
+        # assigns each link its own grid cell in a variant lookup, making
+        # every trajectory distinct.  A remap or param-row mixup now changes
+        # rows detectably.
+        import csv as _csv
+
+        var_params = os.path.join(base, "params_variant.csv")
+        with open(os.path.join(args.ref, "small_test.csv")) as f:
+            rows_p = list(_csv.reader(f))
+        hdr = rows_p[0]
+        hu_col = hdr.index("hu")
+        for i, row in enumerate(rows_p[1:]):
+            row[hu_col] = str(float(row[hu_col]) * (1.0 + 0.05 * i))
+        with open(var_params, "w", newline="") as f:
+            _csv.writer(f).writerows(rows_p)
+        var_lookup = os.path.join(base, "lookup_variant.csv")
+        link_order = [row[hdr.index("stream")] for row in rows_p[1:]]
+        with open(var_lookup, "w") as f:
+            f.write("stream,lat_index,lon_index\n")
+            for i, sid in enumerate(link_order):
+                f.write(f"{sid},{lat_hi},{min(i, lon_hi)}\n")
+        doc["local_params"]["file"] = var_params
+        doc["forcings"]["lookup"] = var_lookup
+        doc["output"]["path"] = os.path.join(base, "out_variant")
+        cfg_v_path = os.path.join(base, "config_variant.yaml")
+        with open(cfg_v_path, "w") as f:
+            yaml.safe_dump(doc, f)
+        summary_v = run(load_config(cfg_v_path), use_mesh=False)
+        with h5py.File(summary_v["final_path"]) as f:
+            y_final_v = np.asarray(f["outputs"])
+        assert np.isfinite(y_final_v).all()
+        n_distinct = len({tuple(np.round(r, 10)) for r in y_final_v})
+        assert n_distinct == len(y_final_v), (
+            f"variant rows not distinct ({n_distinct}/{len(y_final_v)}): "
+            "per-link params/remap not reaching the trajectories"
+        )
+
         out = {
             "metric": "reference_config_e2e",
+            "identical_finals_note": (
+                "The baseline y_final rows are bit-identical by "
+                "construction, NOT a remap bug: small_test.csv's links "
+                "share every physics parameter (only stream ids and "
+                "routing geometry differ), and the reference's own lookups "
+                "map all ten links to ONE grid cell (lat 28, lon 39 in "
+                "small_example_pr_lookup.csv), so every lane integrates "
+                "the same ODE.  The 'variant' section below perturbs "
+                "per-link Hu AND assigns distinct grid cells; its rows "
+                "must be pairwise distinct, which a broken remap or "
+                "param-row mixup would violate."
+            ),
+            "variant": {
+                "params": "hu scaled by (1 + 0.05*i) per link",
+                "lookup": "one distinct grid cell per link",
+                "n_stiff": summary_v["n_stiff"],
+                "n_failed": summary_v["n_failed"],
+                "distinct_final_rows": int(n_distinct),
+                "y_final": np.round(y_final_v, 8).tolist(),
+            },
             "notes": (
                 "n_stiff == num_systems is correct behavior, not a failure: "
                 "with winter temperatures (T<0) Model 204's ET term "
