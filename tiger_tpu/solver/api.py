@@ -368,7 +368,11 @@ def solve(
         )
         stiff_mask = np.asarray(stiff_mask)
         n_stiff = int(stiff_mask.sum())
+        # In speculative mode this phase INCLUDES the rung's execution (the
+        # one pull waits for everything enqueued); the radau_device_rung
+        # mark below then times only the post-pull bookkeeping + merge sync.
         _phase_mark("stiff_count_sync", t_ph)
+        t_ph = _time.perf_counter()
         n_stiff_flagged = n_stiff
         glob = False
         if n_stiff:
