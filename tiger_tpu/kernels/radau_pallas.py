@@ -288,7 +288,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 Newton iteration, radau_step_dense.cuh:90-141).  All
                 lane-parallel: each matrix entry is an (R, 128) lane-vector;
                 complex entries are (re, im) pairs.  Returns the flat
-                carried-factor tuple (see _Carry.fact)."""
+                factor tuple (h_fact, mr[N*N], mr_inv_diag[N], cre[N*N],
+                cim[N*N], c_invd_re[N], c_invd_im[N]) — stored in the
+                fact_ref VMEM scratch under radau_factor_reuse."""
                 # dtype-aware FD step: the reference's sqrt(1e-16)=1e-8
                 # (radau_step_dense.cuh:20) is below float32 resolution —
                 # the perturbation would vanish and the Jacobian degenerate.
