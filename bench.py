@@ -110,6 +110,13 @@ def main() -> None:
         "record comes from --solver radau --model 200 instead",
     )
     p.add_argument(
+        "--dense-lockstep", dest="dense_lockstep", action="store_true",
+        help="SolverConfig.dense_lockstep: barrier lanes at each query time "
+        "so the kernel's dense fill never spans more than ~1 query (a win "
+        "only when queries are coarser than typical steps; see DESIGN.md "
+        "round-5 dense-fill decomposition)",
+    )
+    p.add_argument(
         "--rk-only", action="store_true",
         help="bench the bare RK45 kernel (no stiff second phase) — kernel "
         "micro-benchmark mode, the round-1/2 configuration",
@@ -158,6 +165,7 @@ def main() -> None:
     config = SolverConfig(
         rtol=1e-5, atol=1e-8, max_steps=100_000, fsal=args.fsal,
         forcing_dtype="bf16" if args.forcing_bf16 else "f32",
+        dense_lockstep=args.dense_lockstep,
     )
     y0, params, forcings = _scenario(
         s_count, dtype, days=args.days,

@@ -439,3 +439,39 @@ def test_windowed_stiff_lanes_carry_not_reintegrated(monkeypatch):
         np.asarray(win.y_final)[mask], np.asarray(ref.y_final)[mask],
         rtol=1e-4, atol=1e-7,
     )
+
+
+def test_dense_lockstep_matches_default():
+    """dense_lockstep (opt-in; DESIGN.md round-5 dense-fill notes): the
+    tile-uniform query-barrier must leave trajectories tolerance-equal to
+    the default union-window fill, with only a handful of extra
+    barrier-capped attempts, and identical stiff/failed flags."""
+    import dataclasses
+
+    from __graft_entry__ import _scenario
+    from tiger_tpu.models import Model204
+
+    s, tf = 16, 2880.0
+    y0, params, forc = _scenario(s, jnp.float32, days=2.0, stiff_frac=0.0)
+    qt = jnp.arange(0.0, tf + 1e-9, 360.0, dtype=jnp.float32)
+    h0 = jnp.full((s,), 1e-3, jnp.float32)
+    cfg = SolverConfig(rtol=1e-5, atol=1e-8, max_steps=100_000)
+    base = rk45_solve_pallas(
+        Model204(), y0, 0.0, tf, qt, params, forc, h0=h0, config=cfg,
+        interpret=True,
+    )
+    lk = rk45_solve_pallas(
+        Model204(), y0, 0.0, tf, qt, params, forc, h0=h0,
+        config=dataclasses.replace(cfg, dense_lockstep=True), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(lk.stiff), np.asarray(base.stiff))
+    np.testing.assert_array_equal(np.asarray(lk.failed), np.asarray(base.failed))
+    np.testing.assert_allclose(
+        np.asarray(lk.y_final), np.asarray(base.y_final), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lk.dense), np.asarray(base.dense), rtol=2e-3, atol=1e-5
+    )
+    a0 = int(np.asarray(base.stats.n_attempts).sum())
+    a1 = int(np.asarray(lk.stats.n_attempts).sum())
+    assert a1 <= a0 * 1.1 + 64, (a0, a1)  # barrier caps cost at most a few

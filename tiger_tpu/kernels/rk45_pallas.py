@@ -125,6 +125,14 @@ def _plan_tiles(s_count, q_total, n_eq, t_forc, n_params, f_bytes: int = 4):
         cap *= 2
     if len(candidates) == 1:
         cap = max(cap, candidates[0])  # TT_TILE_ROWS pins the size outright
+    import os as _os
+
+    qc_env = int(_os.environ.get("TT_RK45_QCHUNK", "0"))
+    if qc_env > 0 and q_total > qc_env:
+        # Forced query windowing (perf experiment): windows also RESYNC the
+        # tile's lanes at each boundary, shrinking the dense fill's live
+        # query span — see DESIGN.md round-5 dense-fill notes.
+        return min(cap, candidates[0]), qc_env
     per_lane = _per_lane_bytes(max(q_total, 1), n_eq, t_forc, n_params, f_bytes)
     for rows in candidates:
         if rows > cap:
@@ -169,6 +177,9 @@ class _Carry(NamedTuple):
     n_acc: jax.Array
     n_rej: jax.Array
     n_att: jax.Array
+    qcur: tuple  # 1-tuple of scalar i32: tile-uniform next-unfilled-query
+    #              cursor (cfg.dense_lockstep; empty tuple otherwise) — the
+    #              barrier that keeps the dense fill's union window ~1 wide
 
 
 def _gather_forcings(forc_ref, meta: ForcingMeta, t, dtype, t_min=None, t_max=None,
@@ -331,6 +342,13 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             n_acc=vzi,
             n_rej=vzi,
             n_att=vzi,
+            # Lockstep cursor starts at the first query strictly past t0
+            # (queries <= t0 are prefilled, never step-filled).
+            qcur=(
+                (jnp.sum((qt2 <= t0_s).astype(i32)),)
+                if (cfg.dense_lockstep and q_total > 0)
+                else ()
+            ),
         )
 
         def cond(c):
@@ -344,6 +362,9 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
         import os as _os
 
         tree_acc = _os.environ.get("TT_RK45_TREE", "") not in ("", "0")
+        # TT_RK45_FILLGATE=1: tile-gate the dense qm+fill block on a
+        # non-empty live query window (perf experiment; see dense section).
+        _fill_gate = _os.environ.get("TT_RK45_FILLGATE", "") not in ("", "0")
 
         def _tree_sum(terms):
             """Balanced pairwise sum: chain depth log2(n) instead of n."""
@@ -368,9 +389,36 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             act_i = (
                 b2i(c.t < tf_s) * b2i(c.stiff == 0) * b2i(c.n_att < cfg.max_steps)
             )
+            lockstep = cfg.dense_lockstep and q_total > 0
+            if lockstep:
+                # Lockstep query crossing (SolverConfig.dense_lockstep):
+                # advance the tile-uniform cursor when every active lane
+                # has reached the current barrier query (f32 landing
+                # tolerance: the Kahan commit can stop an ulp short), then
+                # BARRIER this iteration's stepping at the new one — lanes
+                # at the barrier idle (masked inactive) until all arrive,
+                # so the dense fill's union window never exceeds ~1 query.
+                qcap = q_total - 1
+                tqn0 = qt_smem[0, jnp.minimum(c.qcur[0], qcap)]
+                tol0 = 4.8e-7 * jnp.abs(tqn0) + 1e-6
+                not_arr = act_i * b2i(c.t < tqn0 - tol0)
+                adv = (1 - jnp.max(not_arr)) * b2i(c.qcur[0] < q_total)
+                q_cur = c.qcur[0] + adv
+                tq_next = qt_smem[0, jnp.minimum(q_cur, qcap)]
+                barrier = jnp.where(
+                    q_cur < q_total, tq_next, tf_s + 1.0
+                )
+                tolb = 4.8e-7 * jnp.abs(barrier) + 1e-6
+                wait_i = act_i * b2i(c.t >= barrier - tolb)
+                act_i = act_i * (1 - wait_i)
             t, y = c.t, c.y
             clamp_i = b2i(t + c.h > tf_s)
             h_eff = jnp.where(clamp_i > 0, tf_s - t, c.h)
+            if lockstep:
+                # Cap stepping lanes at the barrier (same committed-h
+                # semantics as the ZOH cap below: the controller's next h
+                # grows from the capped value).
+                h_eff = jnp.minimum(h_eff, jnp.maximum(barrier - t, 0.0))
             if snap:
                 # ZOH boundary alignment (SolverConfig.forcing_step_align).
                 h_eff = _zoh_step_cap(meta, t, h_eff)
@@ -527,14 +575,6 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
             # ---- dense output: live query window [q_lo, q_hi) ----
             if q_total > 0:
                 t1 = ks_sum
-                qm = [[jnp.zeros(shp, dtype) for _ in range(n_eq)] for _ in range(4)]
-                for m in range(4):
-                    for j in range(7):
-                        if dp_p[j, m] != 0.0:
-                            w = float(dp_p[j, m])
-                            for i in range(n_eq):
-                                qm[m][i] = qm[m][i] + w * ks[j][i]
-
                 big = jnp.asarray(2.0 * abs(tf) + 1e30, dtype)
                 min_t = jnp.min(jnp.where(act_i > 0, t, big))
                 max_t1 = jnp.max(
@@ -543,24 +583,48 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 q_lo = jnp.sum((qt2 < min_t).astype(i32))  # strictly passed
                 q_hi = jnp.sum((qt2 <= max_t1).astype(i32))
 
-                def fill(qi, _):
-                    tq = qt_smem[0, qi]  # scalar read, dynamic index (SMEM)
-                    pred_i = advance_i * b2i(tq > t) * b2i(tq <= t1)
-                    pred = pred_i > 0
-                    theta = jnp.where(pred, (tq - t) / h_eff, 0.0)
-                    th2 = theta * theta
-                    for ci in range(n_eq):
-                        poly = (
-                            qm[0][ci] * theta
-                            + qm[1][ci] * th2
-                            + qm[2][ci] * th2 * theta
-                            + qm[3][ci] * th2 * th2
-                        )
-                        yd = y[ci] + h_eff * poly
-                        dense_ref[qi, ci] = jnp.where(pred, yd, dense_ref[qi, ci])
-                    return 0
+                def _fill_block():
+                    # The interpolant's 4 x N_EQ theta-monomial coefficients
+                    # (7-term P-matrix combos, ~140 vector fma) are needed
+                    # only when the window is non-empty — under the gate
+                    # below they cost nothing on the (spread-dependent)
+                    # fraction of iterations with no live query.
+                    qm = [
+                        [jnp.zeros(shp, dtype) for _ in range(n_eq)]
+                        for _ in range(4)
+                    ]
+                    for m in range(4):
+                        for j in range(7):
+                            if dp_p[j, m] != 0.0:
+                                w = float(dp_p[j, m])
+                                for i in range(n_eq):
+                                    qm[m][i] = qm[m][i] + w * ks[j][i]
 
-                lax.fori_loop(q_lo, q_hi, fill, 0)
+                    def fill(qi, _):
+                        tq = qt_smem[0, qi]  # scalar read, dyn index (SMEM)
+                        pred_i = advance_i * b2i(tq > t) * b2i(tq <= t1)
+                        pred = pred_i > 0
+                        theta = jnp.where(pred, (tq - t) / h_eff, 0.0)
+                        th2 = theta * theta
+                        for ci in range(n_eq):
+                            poly = (
+                                qm[0][ci] * theta
+                                + qm[1][ci] * th2
+                                + qm[2][ci] * th2 * theta
+                                + qm[3][ci] * th2 * th2
+                            )
+                            yd = y[ci] + h_eff * poly
+                            dense_ref[qi, ci] = jnp.where(
+                                pred, yd, dense_ref[qi, ci]
+                            )
+                        return 0
+
+                    lax.fori_loop(q_lo, q_hi, fill, 0)
+
+                if _fill_gate:
+                    pl.when(q_hi > q_lo)(_fill_block)
+                else:
+                    _fill_block()
 
             if cfg.controller == "pi":
                 # Lund-stabilized PI (see SolverConfig.controller): committed
@@ -765,6 +829,7 @@ def _make_kernel(model, param_fields, meta, t0, tf, n_eq, q_total, cfg: SolverCo
                 n_acc=c.n_acc + advance_i,
                 n_rej=c.n_rej + rejected_i,
                 n_att=n_att_new,
+                qcur=((q_cur,) if lockstep else ()),
             )
 
         out = lax.while_loop(cond, body, carry0)

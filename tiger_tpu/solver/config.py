@@ -222,6 +222,27 @@ class SolverConfig:
     # per inner-loop iteration (monotone cursor per system, queries sorted).
     dense_chunk: int = 8
 
+    # Lockstep query crossing (FUSED RK45 kernel only; round-5 dense-fill
+    # decomposition, DESIGN.md roofline): the dense fill loops over the
+    # tile-wide UNION query window [min lane t, max lane t+h) — Mosaic's
+    # tile-uniform ref indexing forbids per-lane query scatter — and once
+    # 8,192 lanes desynchronize that window spans ~7 queries while each
+    # lane fills at most one (43% of the kernel wall).  With lockstep, a
+    # tile-uniform cursor BARRIERS lanes at each query time: a lane's step
+    # is capped at the next unfilled query and it idles (masked) until
+    # every active lane arrives, so the union window never exceeds ~1
+    # query.  Trade-off: the tile's iteration count becomes the SUM of
+    # per-interval stragglers instead of the overall straggler, plus one
+    # tile reduction per iteration for the barrier-advance vote.  MEASURED
+    # NEGATIVE on the headline bench (476.3 vs 515.9M system-steps/s,
+    # interleaved same-session; attempts +0.04% but tile iterations grow
+    # by the interval-straggler sum): the union-window fill work it
+    # removes is cheaper than the resynchronization it buys.  Kept opt-in
+    # for workloads with tighter per-lane pace spread; with dense queries
+    # (e.g. the 10k-query parity grid) the cap floors h at the query
+    # spacing and multiplies attempts outright.  Off: round-4 behavior.
+    dense_lockstep: bool = False
+
     # Kernel-resident forcing precision (RK45 Pallas kernel; the Radau
     # kernel keeps f32 — its VMEM is Newton-matrix-bound).  'bf16' halves
     # the forcing block's VMEM footprint — the enabler for 128-row tiles,

@@ -46,6 +46,12 @@ def main() -> None:
         choices=["embedded3", "radau5", "reference"],
         help="SolverConfig.radau_error_mode for the rung",
     )
+    p.add_argument(
+        "--factor-reuse", action="store_true",
+        help="SolverConfig.radau_factor_reuse (opt-in; measured negative, "
+        "DESIGN.md round-5 — this flag exists to re-test on new "
+        "hardware/models)",
+    )
     p.add_argument("--cpu", action="store_true", help="interpreter smoke run")
     args = p.parse_args()
 
@@ -88,7 +94,7 @@ def main() -> None:
     h0 = jnp.full((len(pad),), 1e-3, jnp.float32)
     cfg = SolverConfig(
         rtol=1e-5, atol=1e-8, max_steps=100_000, radau_predictor=args.predictor,
-        radau_error_mode=args.error_mode,
+        radau_error_mode=args.error_mode, radau_factor_reuse=args.factor_reuse,
     )
 
     def run():
@@ -126,6 +132,15 @@ def main() -> None:
                 "us_per_iteration": 1e6 * wall / max(int(att.max()), 1),
                 "sweeps_per_attempt": round(float(swp.sum()) / max(n_att, 1), 3),
                 "n_failed": int(np.asarray(res.failed)[:n_stiff].sum()),
+                "factorizations_per_attempt": (
+                    None
+                    if res.stats.n_fact is None
+                    else round(
+                        float(np.asarray(res.stats.n_fact)[:n_stiff].sum())
+                        / max(n_att, 1),
+                        3,
+                    )
+                ),
                 "queries": 0 if qt is None else int(qt.shape[0]),
                 "forcings": not args.no_forcings,
                 "predictor": args.predictor,
