@@ -27,6 +27,10 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
+    # Phase attribution is this tool's whole point; solver/api.py's
+    # _phase_mark is a no-op without the env hook (it would otherwise
+    # serialize production runs with per-phase syncs).
+    os.environ.setdefault("TT_PHASE_PROFILE", "1")
     if args.cpu:
         import jax
 
