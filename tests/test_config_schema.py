@@ -223,3 +223,8 @@ initial: {mode: hot}
 time: {start: "2021-01-01T00:00:00", end: "2021-01-02T00:00:00"}
 solver: {method: Radau}
 """))
+    with pytest.raises(ValueError, match="routed_exchange"):
+        load_config(write(base + """
+time: {start: "2021-01-01T00:00:00", end: "2021-01-02T00:00:00"}
+output: {routed_discharge: true, routed_exchange: broadcast}
+"""))
