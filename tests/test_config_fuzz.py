@@ -87,3 +87,51 @@ def test_kernel_matches_vmap_under_random_config(seed):
         np.asarray(ker.dense), np.asarray(ref.dense),
         rtol=rt_d, atol=at_d, err_msg=str(cfg),
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_radau_kernel_matches_vmap_under_random_config(seed):
+    """Implicit-path knob interactions (error mode x freeze x reuse x
+    predictor): fused Radau kernel vs vmap Radau on a stiff decay batch."""
+    from tiger_tpu.kernels.radau_pallas import radau_solve_pallas
+    from tiger_tpu.solver.radau import radau_solve
+
+    @dataclasses.dataclass(frozen=True)
+    class Decay2:
+        N_EQ: int = 2
+        UID: int = 96
+
+        def rhs_tuple(self, t, y, p, f=None):
+            return (p["lam"] * (y[0] - jnp.cos(t)), -0.5 * y[1])
+
+        def rhs(self, t, y, p, f=None):
+            return jnp.stack(self.rhs_tuple(t, y, p, f))
+
+    rng = np.random.default_rng(200 + seed)
+    cfg = SolverConfig(
+        rtol=1e-4, atol=1e-6, max_steps=20_000,
+        radau_error_mode=str(rng.choice(["embedded3", "radau5"])),
+        radau_h_freeze_hi=float(rng.choice([1.0, 1.2])),
+        radau_factor_reuse=bool(rng.integers(0, 2)),
+        radau_predictor=bool(rng.integers(0, 2)),
+    )
+    s = 8
+    params = {"lam": jnp.full((s,), float(rng.choice([-50.0, -1e3])), jnp.float32)}
+    y0 = jnp.tile(jnp.asarray([2.0, 1.0], jnp.float32), (s, 1))
+    h0 = jnp.full((s,), 1e-3, jnp.float32)
+    qt = jnp.asarray([2.0, 5.0], jnp.float32)
+    ker = radau_solve_pallas(
+        Decay2(), y0, 0.0, 5.0, qt, params, h0=h0, config=cfg, interpret=True
+    )
+    cfg_v = dataclasses.replace(cfg, radau_factor_reuse=False)
+    ref = radau_solve(Decay2(), y0, 0.0, 5.0, qt, params, h0=h0, config=cfg_v)
+    assert not np.asarray(ker.failed).any(), cfg
+    assert not np.asarray(ref.failed).any(), cfg
+    np.testing.assert_allclose(
+        np.asarray(ker.y_final), np.asarray(ref.y_final),
+        rtol=5e-3, atol=1e-4, err_msg=str(cfg),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ker.dense), np.asarray(ref.dense),
+        rtol=1e-2, atol=1e-4, err_msg=str(cfg),
+    )
