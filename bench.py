@@ -241,6 +241,10 @@ def main() -> None:
     baseline_key = "two-phase" if two_phase else args.solver
     if args.model != 204:
         baseline_key = f"{baseline_key}-m{args.model}"
+    if s_count != 131_072:
+        # Non-default batch sizes get their own entry: --record at e.g. 2M
+        # must not clobber the canonical 131k record the rounds compare on.
+        baseline_key = f"{baseline_key}-s{s_count}"
     baseline = read_baseline(
         baseline_path, baseline_key,
         expect={"systems": s_count, "backend": jax.devices()[0].platform},
